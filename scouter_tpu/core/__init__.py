@@ -1,0 +1,17 @@
+"""Core: configuration, PRNG/mesh plumbing, checkpoint I/O."""
+
+from .config import (
+    ScouterConfig,
+    checkpoint_name,
+    config_from_args,
+    expand_sweep,
+    get_args_parser,
+)
+
+__all__ = [
+    "ScouterConfig",
+    "checkpoint_name",
+    "config_from_args",
+    "expand_sweep",
+    "get_args_parser",
+]

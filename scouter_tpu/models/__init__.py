@@ -1,0 +1,49 @@
+"""Backbone zoo + SCOUTER SlotModel (Flax, NHWC)."""
+
+from . import zoo  # noqa: F401  (registers the entrypoints)
+from .convert import strip_prefix, torch_state_dict_to_variables
+from .registry import create_model, is_model, list_models, model_entrypoint, register_model
+from .resnet import ResNet
+from .slot_model import SlotModel, XSlot
+
+__all__ = [
+    "ResNet",
+    "SlotModel",
+    "XSlot",
+    "build_slot_model",
+    "create_model",
+    "is_model",
+    "list_models",
+    "model_entrypoint",
+    "register_model",
+    "strip_prefix",
+    "torch_state_dict_to_variables",
+]
+
+
+def build_slot_model(cfg) -> SlotModel:
+    """Build the SlotModel from a ScouterConfig (load_backbone + SlotModel parity,
+    ``sloter/slot_model.py:18-77``).
+
+    - MNIST swaps the stem conv for Conv(1->64, 3x3, s2, p1) (:23-24)
+    - slot mode consumes backbone features (head neutralization :35-51)
+    - no-slot mode uses the backbone's own ``num_classes`` classifier head
+    """
+    mnist = cfg.dataset == "MNIST"
+    backbone = create_model(
+        cfg.model,
+        num_classes=cfg.num_classes,
+        in_chans=1 if mnist else 3,
+        mnist_stem=mnist,
+    )
+    return SlotModel(
+        backbone=backbone,
+        use_slot=cfg.use_slot,
+        num_classes=cfg.num_classes,
+        hidden_dim=cfg.hidden_dim,
+        slots_per_class=cfg.slots_per_class,
+        loss_status=float(cfg.loss_status),
+        power=float(cfg.power),
+        to_k_layer=cfg.to_k_layer,
+        lambda_value=float(cfg.lambda_value),
+    )

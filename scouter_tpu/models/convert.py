@@ -1,0 +1,125 @@
+"""torch state_dict -> flax variables conversion.
+
+Enables loading the reference's checkpoints (``train.py:190-196`` format: dict
+with a 'model' state_dict) and timm pretrained weights into the Flax modules.
+Covers SURVEY.md §7 hard part 2: Conv OIHW->HWIO, Linear (out,in)->(in,out), BN
+weight/bias->scale/bias + running stats -> batch_stats, the ``backbone.`` prefix
+handoff (``sloter/slot_model.py:27-33``), and the xSlot parameter layout (kept
+in torch layout by design — see models/slot_model.py).
+
+The inverse direction is intentionally not provided; checkpoints written by this
+framework use Orbax (core/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+__all__ = ["torch_state_dict_to_variables", "strip_prefix"]
+
+# xSlot leaves that keep the torch layout verbatim (slot_model.py XSlot.param names)
+_GRU_RENAME = {
+    "weight_ih_l0": "gru_w_ih",
+    "weight_hh_l0": "gru_w_hh",
+    "bias_ih_l0": "gru_b_ih",
+    "bias_hh_l0": "gru_b_hh",
+}
+
+
+def strip_prefix(state_dict: Mapping[str, Any], prefix: str = "backbone.") -> Dict[str, Any]:
+    """Remove a module prefix — the ``k[9:]`` handoff (slot_model.py:27-33)."""
+    return {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+
+def _to_np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], leaf: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def _module_path(segments) -> Tuple[str, ...]:
+    """Merge torch Sequential integer indices into flax module names.
+
+    layer1.0 -> layer1_0; conv1.0 -> conv1_0; downsample.1 -> downsample/downsample_1
+    (the _Downsample flax module nests its Sequential-indexed children).
+    """
+    out = []
+    for seg in segments:
+        if seg.isdigit() and out:
+            merged = f"{out[-1]}_{seg}"
+            if out[-1] == "downsample":
+                out.append(merged)  # keep the nesting level
+            else:
+                out[-1] = merged
+        else:
+            out.append(seg)
+    return tuple(out)
+
+
+def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Convert a torch state_dict into flax ``{'params': ..., 'batch_stats': ...}``.
+
+    Works for the bare backbone and for full SlotModel checkpoints (keys prefixed
+    ``backbone.`` / ``conv1x1.`` / ``slot.``).
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    for key, value in state_dict.items():
+        segs = key.split(".")
+        leaf_name = segs[-1]
+        if leaf_name == "num_batches_tracked":
+            continue
+
+        # ---- xSlot subtree: torch layout preserved, flat param names
+        if "slot" in segs:
+            si = segs.index("slot")
+            rest = segs[si + 1:]
+            base = _module_path(segs[:si + 1])
+            if rest[0] == "to_q":
+                continue  # defined but bypassed in the reference forward (:52-53)
+            if rest[0] == "initial_slots":
+                _set(params, base + ("initial_slots",), _to_np(value))
+            elif rest[0] == "to_k":
+                # to_k.<idx>.weight -> to_k_<idx>_weight
+                _set(params, base + (f"to_k_{rest[1]}_{rest[2]}",), _to_np(value))
+            elif rest[0] == "gru":
+                _set(params, base + (_GRU_RENAME[rest[1]],), _to_np(value))
+            else:
+                raise KeyError(f"unrecognized slot key {key!r}")
+            continue
+
+        arr = _to_np(value)
+        mod_path = _module_path(segs[:-1])
+
+        if leaf_name == "running_mean":
+            _set(batch_stats, mod_path + ("mean",), arr)
+        elif leaf_name == "running_var":
+            _set(batch_stats, mod_path + ("var",), arr)
+        elif leaf_name == "weight":
+            if arr.ndim == 4:  # conv OIHW -> HWIO
+                _set(params, mod_path + ("kernel",), arr.transpose(2, 3, 1, 0))
+            elif arr.ndim == 2:  # linear (out,in) -> (in,out)
+                _set(params, mod_path + ("kernel",), arr.transpose(1, 0))
+            elif arr.ndim == 1:  # batchnorm affine scale
+                _set(params, mod_path + ("scale",), arr)
+            else:
+                raise ValueError(f"unexpected weight rank for {key!r}: {arr.shape}")
+        elif leaf_name == "bias":
+            _set(params, mod_path + ("bias",), arr)
+        else:
+            raise KeyError(f"unrecognized torch key {key!r}")
+
+    out: Dict[str, Dict] = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out

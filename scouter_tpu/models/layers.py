@@ -1,0 +1,211 @@
+"""Shared NHWC layers for the backbone zoo.
+
+These reproduce the numeric behavior of the reference's layer library
+(``timm/models/layers/``) where the SCOUTER recipes exercise it, in idiomatic
+Flax/XLA form: explicit symmetric padding (torch conv semantics), BatchNorm with
+torch's momentum/eps defaults, and the two average-pool variants torch
+distinguishes (count_include_pad True/False, ceil_mode).
+
+Module/param names intentionally mirror the torch module names (conv1, bn1,
+layer1_0, downsample_1, ...) so torch checkpoints convert by name mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "conv2d",
+    "batch_norm",
+    "max_pool_3x3_s2_p1",
+    "avg_pool_include_pad",
+    "avg_pool_ceil_exclude_pad",
+    "global_avg_pool",
+    "SplitAttnConv",
+    "SqueezeExcite",
+    "drop_path",
+    "torch_conv_padding",
+]
+
+
+def torch_conv_padding(kernel_size: int, stride: int, dilation: int = 1) -> int:
+    """The symmetric padding timm computes (``timm/models/resnet.py:137-139``)."""
+    return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+
+def conv2d(
+    features: int,
+    kernel_size: int,
+    *,
+    stride: int = 1,
+    padding: Optional[int] = None,
+    dilation: int = 1,
+    groups: int = 1,
+    use_bias: bool = False,
+    dtype=None,
+    name: str,
+) -> nn.Conv:
+    """nn.Conv configured with torch-style symmetric integer padding (NHWC/HWIO)."""
+    pad = torch_conv_padding(kernel_size, stride, dilation) if padding is None else padding
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        name=name,
+    )
+
+
+def batch_norm(train: bool, *, dtype=None, name: str) -> nn.BatchNorm:
+    """BatchNorm with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5).
+
+    Per-replica statistics only (no cross-device axis_name) — matching the
+    reference's DDP behavior where BN is never synced (SURVEY.md §7 hard part 5).
+    """
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name
+    )
+
+
+def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(3, 2, 1): pads with -inf."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+def avg_pool_include_pad(x: jnp.ndarray, window: int, stride: int, pad: int) -> jnp.ndarray:
+    """torch AvgPool2d(window, stride, pad) with count_include_pad=True (default).
+
+    Zero-pads and divides by the full window size — exactly flax's avg_pool.
+    """
+    return nn.avg_pool(
+        x, (window, window), strides=(stride, stride), padding=[(pad, pad), (pad, pad)]
+    )
+
+
+def avg_pool_ceil_exclude_pad(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """torch AvgPool2d(window, stride, ceil_mode=True, count_include_pad=False).
+
+    Used by timm's ``downsample_avg`` (``timm/models/resnet.py:291-301``) in the
+    ResNet-D / ResNeSt skip connections. ceil_mode implicitly pads bottom/right;
+    exclude-from-count means edge windows divide by the true element count.
+    """
+    b, h, w, c = x.shape
+    out_h = -(-max(h - window, 0) // stride) + 1  # ceil
+    out_w = -(-max(w - window, 0) // stride) + 1
+    pad_h = max((out_h - 1) * stride + window - h, 0)
+    pad_w = max((out_w - 1) * stride + window - w, 0)
+    dims = (1, window, window, 1)
+    strides = (1, stride, stride, 1)
+    padding = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    summed = jax.lax.reduce_window(x, jnp.array(0.0, x.dtype), jax.lax.add, dims, strides, padding)
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    counts = jax.lax.reduce_window(ones, jnp.array(0.0, x.dtype), jax.lax.add, dims, strides, padding)
+    return summed / counts
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """SelectAdaptivePool2d('avg') + flatten: (B,H,W,C) -> (B,C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+class SqueezeExcite(nn.Module):
+    """SE block (timm/models/layers/se.py semantics): avgpool-fc-relu-fc-sigmoid."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        reduced = self.channels // self.reduction
+        s = nn.Conv(reduced, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
+        s = jax.nn.relu(s)
+        s = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SplitAttnConv(nn.Module):
+    """ResNeSt split-attention conv (``timm/models/layers/split_attn.py:31-80``).
+
+    conv (groups*radix) -> bn -> relu -> per-radix sum -> global pool -> fc1 ->
+    bn -> relu -> fc2 -> radix softmax -> weighted sum over radix splits.
+    Only cardinality (groups) == 1 is exercised by the SCOUTER recipes.
+    """
+
+    out_channels: int
+    in_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    radix: int = 2
+    reduction_factor: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid_chs = self.out_channels * self.radix
+        attn_chs = max(self.in_channels * self.radix // self.reduction_factor, 32)
+
+        x = nn.Conv(
+            mid_chs,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups * self.radix,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = batch_norm(train, dtype=self.dtype, name="bn0")(x)
+        x = jax.nn.relu(x)
+
+        b, h, w, rc = x.shape
+        if self.radix > 1:
+            # channel layout is radix-major halves (grouped-conv output order),
+            # matching the reference's view(B, radix, RC//radix, H, W).
+            x_r = x.reshape(b, h, w, self.radix, rc // self.radix)
+            gap = x_r.sum(axis=3)
+        else:
+            x_r = x
+            gap = x
+        gap = jnp.mean(gap, axis=(1, 2), keepdims=True)  # adaptive_avg_pool2d(.,1)
+        gap = nn.Conv(attn_chs, (1, 1), feature_group_count=self.groups, use_bias=True,
+                      dtype=self.dtype, name="fc1")(gap)
+        gap = batch_norm(train, dtype=self.dtype, name="bn1")(gap)
+        gap = jax.nn.relu(gap)
+        attn = nn.Conv(mid_chs, (1, 1), feature_group_count=self.groups, use_bias=True,
+                       dtype=self.dtype, name="fc2")(gap)  # (B,1,1,mid)
+
+        if self.radix > 1:
+            # RadixSoftmax (split_attn.py:14-28) with cardinality==1: softmax
+            # across the radix splits, elementwise over channels.
+            attn = attn.reshape(b, self.radix, rc // self.radix)
+            attn = jax.nn.softmax(attn, axis=1)
+            out = (x_r * attn[:, None, None, :, :]).sum(axis=3)
+        else:
+            attn = jax.nn.sigmoid(attn)
+            out = x_r * attn
+        return out
+
+
+def drop_path(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool) -> jnp.ndarray:
+    """Stochastic depth (timm/models/layers/drop.py DropPath semantics)."""
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, 0.0)

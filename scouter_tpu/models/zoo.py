@@ -1,0 +1,109 @@
+"""Backbone entrypoints (the model zoo).
+
+Configurations mirror the timm entrypoints the reference exposes:
+- resnet family: ``timm/models/resnet.py:512+`` (resnet18/34/50 etc., 'd'
+  variants = deep stem + avg_down)
+- resnest family: ``timm/models/resnest.py:147-215`` (deep stem, stem_width 32
+  or 64, avg_down, radix-2 split attention, avd pooling)
+
+Each entrypoint returns a configured :class:`~scouter_tpu.models.resnet.ResNet`
+Flax module.
+"""
+
+from __future__ import annotations
+
+from .registry import register_model
+from .resnet import ResNet
+
+__all__ = []  # entrypoints are reached via the registry
+
+
+# ---------------------------------------------------------------- resnet family
+@register_model
+def resnet18(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="basic", layers=(2, 2, 2, 2), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet34(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="basic", layers=(3, 4, 6, 3), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet26(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(2, 2, 2, 2), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet26d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(2, 2, 2, 2), stem_width=32,
+                  stem_type="deep", avg_down=True, num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet50(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet50d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), stem_width=32,
+                  stem_type="deep", avg_down=True, num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet101(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 23, 3), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnet152(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 8, 36, 3), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
+def resnext50_32x4d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), cardinality=32,
+                  base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+# --------------------------------------------------------------- resnest family
+def _resnest(layers, stem_width, num_classes, in_chans, **kw):
+    return ResNet(
+        block="resnest", layers=layers, stem_type="deep", stem_width=stem_width,
+        avg_down=True, base_width=64, cardinality=1, radix=2, avd=True,
+        avd_first=False, num_classes=num_classes, in_chans=in_chans, **kw,
+    )
+
+
+@register_model
+def resnest14d(num_classes=1000, in_chans=3, **kw):
+    return _resnest((1, 1, 1, 1), 32, num_classes, in_chans, **kw)
+
+
+@register_model
+def resnest26d(num_classes=1000, in_chans=3, **kw):
+    return _resnest((2, 2, 2, 2), 32, num_classes, in_chans, **kw)
+
+
+@register_model
+def resnest50d(num_classes=1000, in_chans=3, **kw):
+    return _resnest((3, 4, 6, 3), 32, num_classes, in_chans, **kw)
+
+
+@register_model
+def resnest101e(num_classes=1000, in_chans=3, **kw):
+    return _resnest((3, 4, 23, 3), 64, num_classes, in_chans, **kw)
+
+
+@register_model
+def resnest200e(num_classes=1000, in_chans=3, **kw):
+    return _resnest((3, 24, 36, 3), 64, num_classes, in_chans, **kw)

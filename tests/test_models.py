@@ -1,0 +1,138 @@
+"""Backbone zoo tests: shapes, feature-map sizes, and torch-weight parity.
+
+The parity tests build the *reference's own* vendored timm model (imported from
+/root/reference at test time), convert its random-init state_dict with
+models/convert.py, and require matching forward outputs — the strongest
+correctness check available without network access.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scouter_tpu.models import (
+    SlotModel,
+    create_model,
+    list_models,
+    torch_state_dict_to_variables,
+)
+
+REFERENCE = "/root/reference"
+
+
+def _stub_module(name, **attrs):
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
+def _make_ref_model(name, num_classes=10, **kw):
+    """Instantiate the vendored timm model from the reference repo.
+
+    The environment has no torchvision; the vendored timm only touches it in its
+    (unused-by-SCOUTER) data pipeline, so a stub suffices for model creation.
+    """
+    import collections.abc
+
+    tv = _stub_module("torchvision")
+    tf = _stub_module("torchvision.transforms")
+    _stub_module("torchvision.transforms.functional")
+    tv.transforms = tf
+    # torch 1.6-era shim removed from modern torch
+    _stub_module("torch._six", container_abcs=collections.abc, int_classes=int, string_classes=str)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from timm.models import create_model as ref_create  # noqa
+
+    return ref_create(name, pretrained=False, num_classes=num_classes, **kw)
+
+
+class TestZoo:
+    def test_registry_lists_reference_backbones(self):
+        names = list_models()
+        for required in ("resnet18", "resnest26d", "resnest50d"):
+            assert required in names
+
+    @pytest.mark.parametrize(
+        "name,expansion", [("resnet18", 1), ("resnet50", 4), ("resnest26d", 4)]
+    )
+    def test_forward_shapes(self, name, expansion):
+        model = create_model(name, num_classes=7)
+        x = jnp.zeros((2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits = model.apply(variables, x)
+        assert logits.shape == (2, 7)
+        feats = model.apply(variables, x, features_only=True)
+        assert feats.shape == (2, 2, 2, 512 * expansion)
+
+    def test_260px_gives_9x9_features(self):
+        # The slot head depends on the 9x9 map at 260px (slot_model.py:61-64)
+        model = create_model("resnet18", num_classes=10)
+        x = jnp.zeros((1, 260, 260, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        feats = model.apply(variables, x, features_only=True)
+        assert feats.shape == (1, 9, 9, 512)
+
+    def test_mnist_stem(self):
+        model = create_model("resnet18", num_classes=10, mnist_stem=True, in_chans=1)
+        x = jnp.zeros((1, 260, 260, 1))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        feats = model.apply(variables, x, features_only=True)
+        assert feats.shape == (1, 9, 9, 512)
+
+
+class TestTorchParity:
+    @pytest.mark.parametrize("name,size", [("resnet18", 64), ("resnet26d", 64)])
+    def test_backbone_forward_matches_torch(self, name, size):
+        import torch
+
+        torch.manual_seed(0)
+        ref = _make_ref_model(name, num_classes=10)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model(name, num_classes=10)
+
+        x = np.random.RandomState(0).randn(2, size, size, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_resnest26d_forward_matches_torch(self):
+        import torch
+
+        torch.manual_seed(1)
+        ref = _make_ref_model("resnest26d", num_classes=5)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model("resnest26d", num_classes=5)
+
+        x = np.random.RandomState(1).randn(2, 96, 96, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_features_match_torch_resnet18(self):
+        import torch
+
+        torch.manual_seed(2)
+        ref = _make_ref_model("resnet18", num_classes=10)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model("resnet18", num_classes=10)
+
+        x = np.random.RandomState(2).randn(1, 65, 65, 3).astype(np.float32)  # odd size
+        with torch.no_grad():
+            ref_feats = ref.forward_features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        feats = model.apply(variables, jnp.asarray(x), features_only=True)
+        np.testing.assert_allclose(
+            np.asarray(feats), ref_feats.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3
+        )

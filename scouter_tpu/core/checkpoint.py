@@ -1,0 +1,84 @@
+"""Checkpoint I/O with the reference's naming convention.
+
+Format parity (``train.py:181-196``): one 'latest' checkpoint per config name,
+overwritten each epoch, plus archival copies every 10 epochs and at the lr-drop
+epoch; the name encodes dataset/slot-mode/loss-sign/area-size config
+(core/config.py checkpoint_name) and is re-derived by the test CLI — a de-facto
+API. Rank-0-only writes (``tools/prepare_things.py:73-75``) map to
+``jax.process_index() == 0``.
+
+Contents: {'state': TrainState pytree, 'epoch': int, 'config': dataclass dict}
+serialized with flax msgpack (single file, fast for these model sizes).
+Multi-host/async checkpointing can swap in Orbax behind the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax.serialization as fser
+import jax
+import msgpack
+import numpy as np
+
+from .config import ScouterConfig, checkpoint_name
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "checkpoint_path", "save_on_master"]
+
+
+def checkpoint_path(output_dir: str, cfg: ScouterConfig, epoch: Optional[int] = None) -> str:
+    return os.path.join(output_dir, checkpoint_name(cfg, epoch) + ".msgpack")
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_on_master(blob: bytes, path: str) -> None:
+    """Write only from process 0 (save_on_master parity)."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def _config_dict(cfg: ScouterConfig) -> Dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    # msgpack-safe: tuples -> lists, None preserved
+    return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+
+
+def save_checkpoint(
+    output_dir: str,
+    cfg: ScouterConfig,
+    state: Any,
+    epoch: int,
+) -> Tuple[str, ...]:
+    """Save latest (+ archival per the reference cadence). Returns paths written."""
+    blob = msgpack.packb(
+        {
+            "state": fser.to_bytes(_to_host(state)),
+            "epoch": epoch,
+            "config": _config_dict(cfg),
+        },
+        use_bin_type=True,
+    )
+    paths = [checkpoint_path(output_dir, cfg)]
+    if (epoch + 1) % cfg.lr_drop == 0 or (epoch + 1) % 10 == 0:  # train.py:185-188
+        paths.append(checkpoint_path(output_dir, cfg, epoch))
+    for p in paths:
+        save_on_master(blob, p)
+    return tuple(paths)
+
+
+def restore_checkpoint(path: str, state_template: Any) -> Tuple[Any, int, Dict]:
+    """Restore onto a template TrainState (shapes/types must match)."""
+    with open(path, "rb") as f:
+        payload = msgpack.unpackb(f.read(), raw=False)
+    restored = fser.from_bytes(state_template, payload["state"])
+    return restored, int(payload["epoch"]), payload["config"]

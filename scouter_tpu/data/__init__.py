@@ -1,0 +1,43 @@
+"""Data layer: dataset readers, list builders, device-side transforms, loaders."""
+
+from .folders import load_image_list, scan_context, scan_cub200, scan_imagenet_subset
+from .mnist import load_mnist, mnist_or_synthetic, synthetic_mnist
+from .pipeline import ArrayDataset, Loader
+from .transforms import NORMALIZE_VALUES, augment_batch, preprocess_batch
+
+__all__ = [
+    "ArrayDataset",
+    "Loader",
+    "NORMALIZE_VALUES",
+    "augment_batch",
+    "load_image_list",
+    "load_mnist",
+    "mnist_or_synthetic",
+    "preprocess_batch",
+    "scan_context",
+    "scan_cub200",
+    "scan_imagenet_subset",
+    "synthetic_mnist",
+]
+
+
+def select_dataset(cfg, train: bool = True):
+    """choose_dataset.select_dataset parity (``dataset/choose_dataset.py:7-29``)
+    returning an ArrayDataset ready for the Loader."""
+    if cfg.dataset == "MNIST":
+        images, labels = mnist_or_synthetic(cfg.dataset_dir, train=train)
+        return ArrayDataset(images, labels, "MNIST")
+    staging = max(cfg.img_size, 260)
+    if cfg.dataset == "ConText":
+        tr, va = scan_context(cfg.dataset_dir)
+        items = tr if train else va
+    elif cfg.dataset == "ImageNet":
+        tr, va = scan_imagenet_subset(cfg.dataset_dir, cfg.num_classes)
+        items = tr if train else va
+    elif cfg.dataset == "CUB200":
+        tr, va = scan_cub200(cfg.dataset_dir, cfg.num_classes)
+        items = tr if train else va
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    images, labels = load_image_list(items, staging)
+    return ArrayDataset(images, labels, cfg.dataset)

@@ -1,0 +1,139 @@
+"""Host data pipeline: shuffling, batching, host sharding, device prefetch.
+
+Replaces the reference's DataLoader stack (``train.py:152-160``:
+DistributedSampler + BatchSampler(drop_last=True) + DataLoaderX thread
+prefetch, ``tools/prepare_things.py:140-142``):
+
+- per-epoch shuffling keyed by (seed, epoch) — ``set_epoch`` parity
+  (``train.py:176-177``)
+- train batches drop the remainder (BatchSampler drop_last, ``train.py:158``);
+  val keeps it (padded + masked is a later refinement; currently truncated to a
+  whole batch only when batch > remaining)
+- multi-host: each host reads a contiguous shard (parallel/mesh.py
+  host_shard_bounds) — DistributedSampler equivalent
+- device transfer: uint8 batches go to device where preprocess_batch resizes/
+  normalizes/augments inside XLA; a one-batch lookahead overlaps H2D with step
+  execution (DataLoaderX BackgroundGenerator equivalent).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import host_shard_bounds
+from .transforms import preprocess_batch
+
+__all__ = ["ArrayDataset", "Loader"]
+
+
+class ArrayDataset:
+    """In-memory (or memory-mapped) array-backed dataset."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, dataset_name: str):
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = np.asarray(labels, np.int32)
+        self.dataset_name = dataset_name
+
+    def __len__(self):
+        return len(self.images)
+
+
+class Loader:
+    """Batched loader with per-epoch deterministic shuffling + device preprocessing."""
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        img_size: int,
+        train: bool,
+        aug: bool = False,
+        seed: int = 0,
+        shard_by_host: bool = True,
+        mesh=None,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.train = train
+        self.aug = aug
+        self.seed = seed
+        self.mesh = mesh
+        self.prefetch = prefetch
+        if shard_by_host:
+            start, stop = host_shard_bounds(len(dataset))
+            self._indices = np.arange(start, stop)
+        else:
+            self._indices = np.arange(len(dataset))
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._indices)
+        return n // self.batch_size if self.train else -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = self._indices
+        if self.train:
+            rng = np.random.RandomState((self.seed * 100003 + epoch) % (2**31))
+            idx = idx.copy()
+            rng.shuffle(idx)
+            n_full = (len(idx) // self.batch_size) * self.batch_size
+            idx = idx[:n_full]
+        return idx
+
+    def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i: i + self.batch_size]
+            yield {
+                "image": self.ds.images[chunk],
+                "label": self.ds.labels[chunk],
+            }
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, jax.Array]]:
+        """Yield preprocessed device batches for one epoch, with lookahead."""
+        key = jax.random.PRNGKey((self.seed * 7919 + epoch) % (2**31))
+
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            put = lambda x: jax.device_put(x, batch_sharding(self.mesh))
+        else:
+            put = jax.device_put
+
+        def produce(host_batch, batch_key):
+            images = put(host_batch["image"])
+            labels = put(host_batch["label"])
+            images = preprocess_batch(
+                images,
+                dataset=self.ds.dataset_name,
+                img_size=self.img_size,
+                train=self.train,
+                aug=self.aug,
+                key=batch_key if (self.train and self.aug) else None,
+            )
+            return {"image": images, "label": labels}
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            for bi, hb in enumerate(self._host_batches(epoch)):
+                bk = jax.random.fold_in(key, bi)
+                q.put(produce(hb, bk))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

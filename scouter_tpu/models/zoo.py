@@ -20,6 +20,13 @@ __all__ = []  # entrypoints are reached via the registry
 
 # ---------------------------------------------------------------- resnet family
 @register_model
+def resnet10(num_classes=1000, in_chans=3, **kw):
+    """Minimal 4-stage BasicBlock net — fast-compiling model for tests/CI."""
+    return ResNet(block="basic", layers=(1, 1, 1, 1), num_classes=num_classes,
+                  in_chans=in_chans, **kw)
+
+
+@register_model
 def resnet18(num_classes=1000, in_chans=3, **kw):
     return ResNet(block="basic", layers=(2, 2, 2, 2), num_classes=num_classes,
                   in_chans=in_chans, **kw)

@@ -1,0 +1,155 @@
+"""Epoch driver — train.py:82-204 + engine.py semantics, TPU execution model.
+
+Differences from the reference, by design:
+- the inner loop is a single compiled step per batch (no .to(device), no
+  zero_grad/backward/step choreography);
+- metric accumulation happens on device in running sums, transferred once per
+  epoch (the reference does a .item() sync every batch, ``engine.py:36``);
+- checkpointing is rank-0 msgpack with the reference's naming cadence.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
+from ..core.config import ScouterConfig
+from ..data import Loader, select_dataset
+from ..models import build_slot_model
+from ..parallel.mesh import make_mesh
+from .state import create_train_state, step_lr
+from .steps import make_eval_step, make_train_step, set_learning_rate
+
+__all__ = ["MetricLog", "Trainer", "run_training"]
+
+
+class MetricLog:
+    """record dict parity (tools/calculate_tool.py:18-31)."""
+
+    def __init__(self):
+        self.record: Dict[str, Dict[str, List[float]]] = {
+            "train": {"loss": [], "acc": [], "log_loss": [], "att_loss": []},
+            "val": {"loss": [], "acc": [], "log_loss": [], "att_loss": []},
+        }
+
+    def append(self, mode: str, metrics: Dict[str, float]) -> None:
+        for k in ("loss", "acc", "log_loss", "att_loss"):
+            self.record[mode][k].append(round(float(metrics[k]), 3))
+
+    def print_metric(self) -> None:
+        r = self.record
+        print("train loss:", r["train"]["loss"])
+        print("val loss:", r["val"]["loss"])
+        print("train acc:", r["train"]["acc"])
+        print("val acc:", r["val"]["acc"])
+        print("train CE loss", r["train"]["log_loss"])
+        print("val CE loss", r["val"]["log_loss"])
+        print("train attention loss", r["train"]["att_loss"])
+        print("val attention loss", r["val"]["att_loss"])
+
+
+def _average(metric_sums: Dict[str, Any], n: int) -> Dict[str, float]:
+    return {k: float(v) / max(n, 1) for k, v in metric_sums.items()}
+
+
+class Trainer:
+    """Owns model/state/steps/loaders for one config."""
+
+    def __init__(self, cfg: ScouterConfig, mesh=None, datasets=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self.model = build_slot_model(cfg)
+
+        if datasets is None:
+            ds_train = select_dataset(cfg, train=True)
+            ds_val = select_dataset(cfg, train=False)
+        else:
+            ds_train, ds_val = datasets
+
+        self.loader_train = Loader(
+            ds_train, cfg.batch_size, img_size=cfg.img_size, train=True,
+            aug=cfg.aug, seed=cfg.seed, mesh=self.mesh,
+        )
+        self.loader_val = Loader(
+            ds_val, cfg.batch_size, img_size=cfg.img_size, train=False,
+            seed=cfg.seed, mesh=self.mesh,
+        )
+
+        sample_shape = (cfg.batch_size, cfg.img_size, cfg.img_size,
+                        1 if cfg.dataset == "MNIST" else 3)
+        variables = self.model.init(
+            jax.random.PRNGKey(cfg.seed), np.zeros(sample_shape, np.float32)
+        )
+        self.state, self.tx = create_train_state(
+            variables, cfg.lr, freeze_layers=cfg.freeze_layers, pre_trained=cfg.pre_trained
+        )
+        self.train_step = make_train_step(self.model, self.tx, float(cfg.lambda_value))
+        self.eval_step = make_eval_step(self.model, float(cfg.lambda_value))
+        self.log = MetricLog()
+        self.start_epoch = cfg.start_epoch
+
+    def load_variables(self, variables: Dict[str, Any]) -> None:
+        """Replace params/batch_stats (e.g. from a converted torch checkpoint or
+        the use_pre backbone handoff) keeping optimizer state fresh."""
+        self.state, self.tx = create_train_state(
+            variables, self.cfg.lr,
+            freeze_layers=self.cfg.freeze_layers, pre_trained=self.cfg.pre_trained,
+        )
+        self.train_step = make_train_step(self.model, self.tx, float(self.cfg.lambda_value))
+
+    def maybe_resume(self) -> None:
+        path = checkpoint_path(self.cfg.output_dir, self.cfg)
+        if self.cfg.resume:
+            self.state, epoch, _ = restore_checkpoint(path, self.state)
+            self.start_epoch = epoch + 1
+            print(f"resumed from {path} at epoch {epoch}")
+
+    def run_epoch(self, epoch: int, mode: str) -> Dict[str, float]:
+        loader = self.loader_train if mode == "train" else self.loader_val
+        sums = None
+        n = 0
+        print(f"start {mode} :{epoch}")
+        for batch in loader.epoch(epoch):
+            if mode == "train":
+                self.state, metrics = self.train_step(self.state, batch)
+            else:
+                metrics = self.eval_step(self.state, batch)
+            sums = metrics if sums is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, sums, metrics
+            )
+            n += 1
+        avg = _average(jax.device_get(sums) if sums else
+                       {k: 0.0 for k in ("loss", "acc", "log_loss", "att_loss")}, n)
+        self.log.append(mode, avg)
+        return avg
+
+    def fit(self) -> List[float]:
+        cfg = self.cfg
+        self.maybe_resume()
+        start = time.time()
+        for epoch in range(self.start_epoch, cfg.epochs):
+            # StepLR: lr for this epoch (scheduler.step() after each epoch in the
+            # reference means epoch e runs at lr * gamma^(e // lr_drop))
+            self.state = set_learning_rate(self.state, step_lr(cfg.lr, epoch, cfg.lr_drop))
+            self.run_epoch(epoch, "train")
+            if cfg.output_dir:
+                save_checkpoint(cfg.output_dir, cfg, self.state, epoch)
+            self.run_epoch(epoch, "val")
+            self.log.print_metric()
+        total = time.time() - start
+        print(f"Training time {total:.1f}s")
+        r = self.log.record
+        return [
+            r["train"]["acc"][-1] if r["train"]["acc"] else 0.0,
+            r["val"]["acc"][-1] if r["val"]["acc"] else 0.0,
+        ]
+
+
+def run_training(cfg: ScouterConfig, datasets=None) -> List[float]:
+    """main(args) equivalent: returns [last train acc, last val acc]
+    (train.py:204)."""
+    return Trainer(cfg, datasets=datasets).fit()

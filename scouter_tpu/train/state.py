@@ -1,0 +1,105 @@
+"""Train state: params + BN stats + optimizer, with reference freeze semantics.
+
+Optimizer parity notes (``train.py:146-148``):
+- torch ``AdamW(params, lr=args.lr)`` keeps AdamW *defaults* for everything else
+  — betas (0.9, 0.999), eps 1e-8, and notably weight_decay=0.01 (the reference's
+  ``--weight_decay`` flag is parsed but never passed to the optimizer).
+- only ``requires_grad`` params are given to the optimizer; frozen params get
+  neither updates nor weight decay. We reproduce that with an optax
+  multi_transform over a trainable/frozen label tree.
+- StepLR(step_size=lr_drop, gamma 0.1) steps per *epoch* (``train.py:179``);
+  we inject the lr each epoch via optax.inject_hyperparams.
+
+Freeze-mask parity (``sloter/slot_model.py:79-94`` dfs_freeze): when
+``pre_trained`` and ``freeze_layers > 0``, every backbone param whose top-level
+module name does not contain one of ['layer4','layer3','layer2','layer1'][:4 -
+freeze_layers] is frozen. The slot head (conv1x1, slot) is always trainable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["TrainState", "create_train_state", "make_freeze_labels", "step_lr"]
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def _kept_layer_names(freeze_layers: int):
+    return ["layer4", "layer3", "layer2", "layer1"][: 4 - freeze_layers]
+
+
+def make_freeze_labels(params: Any, freeze_layers: int, pre_trained: bool) -> Any:
+    """Label tree: 'trainable' / 'frozen' per param leaf (dfs_freeze parity).
+
+    The reference walks children recursively and skips any subtree whose name
+    contains a kept layer name; at the top level of the backbone that means
+    conv1/bn1 and the frozen stages. Non-backbone params are never frozen.
+    """
+    if not pre_trained or freeze_layers <= 0:
+        return jax.tree_util.tree_map(lambda _: "trainable", params)
+
+    kept = _kept_layer_names(freeze_layers)
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path, _ in flat.items():
+        if path[0] == "backbone":
+            module = path[1] if len(path) > 1 else ""
+            unfrozen = any(k in module for k in kept)
+            labels[path] = "trainable" if unfrozen else "frozen"
+        else:
+            labels[path] = "trainable"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def step_lr(base_lr: float, epoch: int, lr_drop: int, gamma: float = 0.1) -> float:
+    """torch StepLR schedule value at a given epoch."""
+    return base_lr * (gamma ** (epoch // lr_drop))
+
+
+def make_optimizer(base_lr: float) -> optax.GradientTransformation:
+    """AdamW with torch defaults; lr injected per epoch."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=base_lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+    )
+
+
+def create_train_state(
+    variables: Dict[str, Any],
+    base_lr: float,
+    freeze_layers: int = 0,
+    pre_trained: bool = False,
+):
+    """Returns (state, tx). tx is kept outside the pytree; pass it to the step
+    builders in train/steps.py (it is stateless — all state is in opt_state)."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    labels = make_freeze_labels(params, freeze_layers, pre_trained)
+    tx = optax.multi_transform(
+        {"trainable": make_optimizer(base_lr), "frozen": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, tx

@@ -1,0 +1,116 @@
+"""Jitted train/eval steps — the engine (engine.py:6-52 equivalent), TPU-first.
+
+One compiled function per mode; the whole forward+backward+optimizer+metrics
+computation runs on device. Under a data-sharded batch with replicated params,
+XLA inserts the gradient all-reduce over the mesh — the DDP bucket all-reduce
+(``engine.py:33`` backward) becomes a compiler-scheduled psum on ICI.
+
+Metrics parity (``engine.py:26-52`` + ``tools/calculate_tool.py:4-9``): each
+step returns loss / CE loss / area loss and top-1 fraction for the global batch;
+the epoch driver averages over batches, matching the reference's bookkeeping.
+
+Setting the learning rate per epoch (StepLR semantics) is done by overwriting
+``opt_state.inner_states['trainable'].inner_state.hyperparams['learning_rate']``
+— see :func:`set_learning_rate`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.losses import scouter_loss
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "set_learning_rate"]
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def _forward(model, variables, images, train: bool):
+    if train:
+        out, mutated = model.apply(variables, images, train=True, mutable=["batch_stats"])
+        return out, mutated.get("batch_stats")
+    return model.apply(variables, images, train=False), None
+
+
+def _metrics(out, losses, labels) -> Dict[str, jnp.ndarray]:
+    pred = jnp.argmax(out["logits"], axis=1)
+    m = {
+        "loss": losses["loss"],
+        "acc": jnp.mean((pred == labels).astype(jnp.float32)),
+        "log_loss": losses.get("log_loss", losses["loss"]),
+        "att_loss": losses.get("att_loss", jnp.zeros(())),
+    }
+    return m
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    lambda_value: float,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step. ``model`` is the SlotModel module."""
+
+    def train_step(state: TrainState, batch: Batch):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out, new_stats = _forward(model, variables, batch["image"], train=True)
+            _, losses = scouter_loss(
+                out["logits"], batch["label"], out.get("area_loss"), lambda_value
+            )
+            return losses["loss"], (losses, out, new_stats)
+
+        grads, (losses, out, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats if new_stats is not None else state.batch_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, _metrics(out, losses, batch["label"])
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model, lambda_value: float
+) -> Callable[[TrainState, Batch], Dict[str, jnp.ndarray]]:
+    def eval_step(state: TrainState, batch: Batch):
+        out, _ = _forward(model, state.variables(), batch["image"], train=False)
+        _, losses = scouter_loss(
+            out["logits"], batch["label"], out.get("area_loss"), lambda_value
+        )
+        return _metrics(out, losses, batch["label"])
+
+    return jax.jit(eval_step)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Overwrite the injected lr (StepLR-per-epoch, train.py:179 semantics)."""
+
+    def maybe_set(path, leaf):
+        return leaf
+
+    # opt_state structure: MultiTransformState(inner_states={'trainable':
+    # MaskedState(inner_state=InjectHyperparamsState(hyperparams={'learning_rate': ...}))})
+    opt_state = state.opt_state
+    inner = opt_state.inner_states["trainable"]
+    hp_state = inner.inner_state
+    new_hp = dict(hp_state.hyperparams)
+    new_hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(new_hp["learning_rate"]).dtype)
+    new_hp_state = hp_state._replace(hyperparams=new_hp)
+    new_inner = inner._replace(inner_state=new_hp_state)
+    new_opt_state = opt_state._replace(
+        inner_states={**opt_state.inner_states, "trainable": new_inner}
+    )
+    return state.replace(opt_state=new_opt_state)

@@ -1,0 +1,65 @@
+"""Throughput benchmark: resnest26d + xSlot inference, 224px, the BASELINE.json
+headline metric (images/sec/chip).
+
+Runs on the default JAX device (the real TPU chip under the driver). bfloat16
+compute path, fp32 params. Prints ONE JSON line.
+
+vs_baseline: ratio against an estimated A100 torch reference throughput for the
+same model/config. The reference repo publishes no numbers (BASELINE.md), so the
+constant below is an engineering estimate of PyTorch 1.6 resnest26d+slot
+inference on A100 (fp16, bs=70): ~2500 img/s. The north-star target is 3x that.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_TORCH_BASELINE_IMG_S = 2500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scouter_tpu.core import ScouterConfig
+    from scouter_tpu.models import build_slot_model
+
+    cfg = ScouterConfig(
+        model="resnest26d", dataset="ImageNet", num_classes=10, channel=2048,
+        use_slot=True, slots_per_class=3, power=2, loss_status=1, to_k_layer=3,
+        lambda_value=1.0, img_size=224, batch_size=70,
+    )
+    model = build_slot_model(cfg)
+    x = jnp.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x, jnp.float32))
+
+    # bf16 activations; params stay fp32 (XLA computes conv/matmul in bf16 on MXU)
+    @jax.jit
+    def forward(variables, images):
+        out = model.apply(variables, images.astype(jnp.bfloat16))
+        return out["logits"]
+
+    # compile + warmup
+    forward(variables, x).block_until_ready()
+    for _ in range(3):
+        forward(variables, x).block_until_ready()
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_s = cfg.batch_size * iters / dt
+    print(json.dumps({
+        "metric": "images/sec/chip (resnest26d+xSlot, 224px, bs=70, inference)",
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / A100_TORCH_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

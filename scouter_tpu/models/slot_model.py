@@ -45,6 +45,8 @@ class XSlot(nn.Module):
     loss_status: float = 1.0
     power: float = 1.0
     to_k_layer: int = 1
+    fused: bool = False
+    interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -91,7 +93,9 @@ class XSlot(nn.Module):
         }
 
         params = {"initial_slots": initial_slots, "to_k": to_k, "gru": gru}
-        return xslot_attention(params, cfg, inputs_pe, inputs_x)
+        return xslot_attention(
+            params, cfg, inputs_pe, inputs_x, fused=self.fused, interpret=self.interpret
+        )
 
 
 class SlotModel(nn.Module):
@@ -107,6 +111,8 @@ class SlotModel(nn.Module):
     to_k_layer: int = 1
     lambda_value: float = 1.0
     iters: int = 3
+    fused_slot: bool = False
+    interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -137,6 +143,8 @@ class SlotModel(nn.Module):
             loss_status=self.loss_status,
             power=self.power,
             to_k_layer=self.to_k_layer,
+            fused=self.fused_slot,
+            interpret=self.interpret,
             dtype=self.dtype,
             name="slot",
         )(inputs_pe, inputs_x)

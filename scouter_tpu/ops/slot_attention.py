@@ -125,6 +125,9 @@ def xslot_attention(
     cfg: XSlotConfig,
     inputs_pe: jnp.ndarray,
     inputs_x: jnp.ndarray,
+    *,
+    fused: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full xSlot module forward.
 
@@ -132,6 +135,9 @@ def xslot_attention(
       params: from :func:`init_xslot_params` (or converted torch weights).
       inputs_pe: (B, N, d) position-embedded features — key source.
       inputs_x: (B, N, d) raw features — value source.
+      fused: run the 3-iteration loop as one Pallas TPU kernel (VMEM-resident);
+        backward replays the jnp path via custom_vjp (ops/slot_pallas.py).
+      interpret: Pallas interpreter mode (for CPU tests of the fused path).
 
     Returns:
       (class_logits (B, C), area_loss scalar, attn (B, S, N)) where attn is the
@@ -140,11 +146,21 @@ def xslot_attention(
     b, n, d = inputs_pe.shape
     scale = float(d) ** -0.5
     k = _apply_to_k(params["to_k"], inputs_pe)
-    slots = jnp.broadcast_to(params["initial_slots"], (b, cfg.num_slots, d))
 
-    updates = attn = None
-    for _ in range(cfg.iters):  # static 3-iteration loop; XLA fully unrolls/fuses
-        slots, updates, attn = xslot_iteration(slots, k, inputs_x, params["gru"], scale)
+    if fused:
+        from .slot_pallas import xslot_iterations_fused
+
+        gru = params["gru"]
+        updates, attn = xslot_iterations_fused(
+            k, inputs_x, params["initial_slots"][0],
+            gru["w_ih"], gru["w_hh"], gru["b_ih"][None], gru["b_hh"][None],
+            cfg.iters, interpret,
+        )
+    else:
+        slots = jnp.broadcast_to(params["initial_slots"], (b, cfg.num_slots, d))
+        updates = attn = None
+        for _ in range(cfg.iters):  # static loop; XLA fully unrolls/fuses
+            slots, updates, attn = xslot_iteration(slots, k, inputs_x, params["gru"], scale)
 
     if cfg.slots_per_class > 1:
         # per-class sum-pool of the final updates (reference :87-91)

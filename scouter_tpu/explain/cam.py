@@ -1,0 +1,205 @@
+"""CAM-family attribution — functional JAX port of the capabilities of the
+vendored torchcam (``torchcam/cams/cam.py:15-447``, ``gradcam.py:15-274``).
+
+No hooks: the backbone's features/head split is explicit (features_only +
+replicated pooling head), activations and their gradients come from jax.grad
+over the head, and masked-forward families (Score-CAM etc.) are batched
+channel sweeps instead of chunked loops.
+
+All extractors take a single image (N=1, like the reference's precheck,
+``cam.py:66-70``) and return a (h, w) map, min-max normalized by default
+(``cam.py:50-56``). ReLU-before-normalize follows each method's reference flag.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "backbone_split",
+    "cam",
+    "gradcam",
+    "gradcampp",
+    "smooth_gradcampp",
+    "scorecam",
+    "sscam",
+    "isscam",
+]
+
+
+def backbone_split(model, variables):
+    """(features, head, forward) closures for a zoo backbone.
+
+    head replicates the ResNet pooling head (global_avg_pool + fc) so that
+    gradients w.r.t. the last conv features are direct.
+    """
+
+    def features(x):
+        return model.apply(variables, x, features_only=True)  # (1, h, w, K)
+
+    fc = variables["params"]["fc"]
+
+    def head(feats):
+        pooled = feats.mean(axis=(1, 2))
+        return pooled @ fc["kernel"] + fc["bias"]
+
+    def forward(x):
+        return head(features(x))
+
+    return features, head, forward
+
+
+def _normalize(m: jnp.ndarray) -> jnp.ndarray:
+    """Per-map min-max over the spatial dims (torchcam _normalize)."""
+    lo = m.min(axis=(-2, -1), keepdims=True)
+    hi = m.max(axis=(-2, -1), keepdims=True)
+    return (m - lo) / (hi - lo)
+
+
+def _combine(feats: jnp.ndarray, weights: jnp.ndarray, relu: bool, normalized: bool):
+    """weighted channel sum -> (h, w). feats: (1, h, w, K), weights: (K,)."""
+    a = feats[0] * weights  # (h, w, K)
+    a = jnp.where(jnp.isnan(a), 1.0, a)  # torchcam nan -> 1 quirk (cam.py:105-107)
+    m = a.sum(axis=-1)
+    if relu:
+        m = jax.nn.relu(m)
+    return _normalize(m) if normalized else m
+
+
+def cam(model, variables, x, class_idx: int, normalized: bool = True):
+    """Plain CAM: fc weights of the target class (cam.py:121-164)."""
+    features, _, _ = backbone_split(model, variables)
+    feats = features(x)
+    weights = variables["params"]["fc"]["kernel"][:, class_idx]  # (K,)
+    return _combine(feats, weights, relu=False, normalized=normalized)
+
+
+def _feat_grad(model, variables, x, class_idx: int):
+    features, head, _ = backbone_split(model, variables)
+    feats = features(x)
+    g = jax.grad(lambda f: head(f)[0, class_idx])(feats)
+    return feats, g
+
+
+def gradcam(model, variables, x, class_idx: int, normalized: bool = True):
+    """Grad-CAM: spatial-mean gradient weights (gradcam.py:93-119)."""
+    feats, g = _feat_grad(model, variables, x, class_idx)
+    weights = g[0].mean(axis=(0, 1))  # (K,)
+    return _combine(feats, weights, relu=True, normalized=normalized)
+
+
+def _pp_weights(feats, g):
+    """Grad-CAM++ alpha-weighted ReLU-gradient weights (gradcam.py:150-160)."""
+    g2 = g**2
+    g3 = g**3
+    denom = 2.0 * g2 + (g3 * feats).sum(axis=(1, 2), keepdims=True)
+    alpha = g2 / denom
+    return (alpha[0] * jax.nn.relu(g[0])).sum(axis=(0, 1))  # (K,)
+
+
+def gradcampp(model, variables, x, class_idx: int, normalized: bool = True):
+    feats, g = _feat_grad(model, variables, x, class_idx)
+    weights = _pp_weights(feats, g)
+    return _combine(feats, weights, relu=True, normalized=normalized)
+
+
+def smooth_gradcampp(model, variables, x, class_idx: int, key,
+                     num_samples: int = 4, std: float = 0.3, normalized: bool = True):
+    """Smooth Grad-CAM++ (gradcam.py:162-274): gradient moments averaged over
+    noisy inputs; the ReLU-gradient factor uses the last sample's gradient
+    (reference quirk, gradcam.py:268-271)."""
+    features, head, _ = backbone_split(model, variables)
+    init_feats = features(x)
+
+    def sample_grad(k):
+        noisy = x + std * jax.random.normal(k, x.shape)
+        feats_n = features(noisy)
+        g = jax.grad(lambda f: head(f)[0, class_idx])(feats_n)
+        return g
+
+    keys = jax.random.split(key, num_samples)
+    grads = jax.lax.map(sample_grad, keys)  # (n, 1, h, w, K)
+    g2 = (grads**2).mean(axis=0)
+    g3 = (grads**3).mean(axis=0)
+    last_g = grads[-1]
+    denom = 2.0 * g2 + (g3 * init_feats).sum(axis=(1, 2), keepdims=True)
+    alpha = g2 / denom
+    weights = (alpha[0] * jax.nn.relu(last_g[0])).sum(axis=(0, 1))
+    return _combine(init_feats, weights, relu=True, normalized=normalized)
+
+
+def _channel_masks(feats: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel normalized activation upsampled to input size (cam.py:221-231).
+
+    Returns (K, H, W, 1) masks for the (1, H, W, C) input.
+    """
+    a = feats[0]  # (h, w, K)
+    a = jnp.moveaxis(a, -1, 0)[..., None]  # (K, h, w, 1)
+    lo = a.min(axis=(1, 2), keepdims=True)
+    hi = a.max(axis=(1, 2), keepdims=True)
+    a = (a - lo) / (hi - lo)
+    k, h, w, _ = a.shape
+    H, W = x.shape[1:3]
+    return jax.image.resize(a, (k, H, W, 1), method="bilinear")
+
+
+def _masked_scores(forward, masked: jnp.ndarray, class_idx: int, batch_size: int):
+    """softmax class probabilities for a (K, H, W, C) stack, chunked."""
+    k = masked.shape[0]
+    pad = (-k) % batch_size
+    if pad:
+        masked = jnp.concatenate([masked, jnp.zeros((pad, *masked.shape[1:]), masked.dtype)])
+    chunks = masked.reshape(-1, batch_size, *masked.shape[1:])
+    probs = jax.lax.map(lambda c: jax.nn.softmax(forward(c), axis=1)[:, class_idx], chunks)
+    return probs.reshape(-1)[:k]
+
+
+def scorecam(model, variables, x, class_idx: int, batch_size: int = 32,
+             normalized: bool = True):
+    """Score-CAM (cam.py:166-258): masked-input softmax re-scoring."""
+    features, _, forward = backbone_split(model, variables)
+    feats = features(x)
+    masks = _channel_masks(feats, x)  # (K, H, W, 1)
+    weights = _masked_scores(forward, masks * x[0], class_idx, batch_size)
+    return _combine(feats, weights, relu=True, normalized=normalized)
+
+
+def sscam(model, variables, x, class_idx: int, key, batch_size: int = 32,
+          num_samples: int = 35, std: float = 2.0, normalized: bool = True):
+    """SS-CAM (cam.py:260-358): noise added to the mask before multiplying."""
+    features, _, forward = backbone_split(model, variables)
+    feats = features(x)
+    masks = _channel_masks(feats, x)
+
+    def one(k):
+        noise = std * jax.random.normal(k, x[0].shape)
+        return _masked_scores(forward, x[0] * (masks + noise), class_idx, batch_size)
+
+    keys = jax.random.split(key, num_samples)
+    weights = jax.lax.map(one, keys).mean(axis=0)
+    return _combine(feats, weights, relu=True, normalized=normalized)
+
+
+def isscam(model, variables, x, class_idx: int, batch_size: int = 32,
+           num_samples: int = 10, normalized: bool = True):
+    """ISS-CAM (cam.py:361-447): integration over mask intensity scaling.
+
+    fmap accumulates sum_{i<=m} i/N * (x*mask); scores accumulate per step.
+    """
+    features, _, forward = backbone_split(model, variables)
+    feats = features(x)
+    masks = _channel_masks(feats, x)
+    base = x[0] * masks  # (K, H, W, C)
+
+    def step(carry, idx):
+        fmap = carry + (idx + 1.0) / num_samples * base
+        w = _masked_scores(forward, fmap, class_idx, batch_size)
+        return fmap, w
+
+    _, ws = jax.lax.scan(step, jnp.zeros_like(base), jnp.arange(num_samples, dtype=jnp.float32))
+    weights = ws.sum(axis=0)
+    return _combine(feats, weights, relu=True, normalized=normalized)

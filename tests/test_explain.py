@@ -1,0 +1,112 @@
+"""XAI attribution suite tests: CAM family, RISE, pointing game."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scouter_tpu.explain.cam import (
+    backbone_split,
+    cam,
+    gradcam,
+    gradcampp,
+    isscam,
+    scorecam,
+    smooth_gradcampp,
+    sscam,
+)
+from scouter_tpu.explain.pointing_game import PointingGame, saliency_point
+from scouter_tpu.explain.rise import rise
+from scouter_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = create_model("resnet10", num_classes=5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables, x
+
+
+class TestCamFamily:
+    def test_cam_shape_and_range(self, setup):
+        model, variables, x = setup
+        m = cam(model, variables, x, class_idx=2)
+        assert m.shape == (2, 2)
+        assert float(m.min()) == pytest.approx(0.0, abs=1e-6)
+        assert float(m.max()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_gradcam_and_pp(self, setup):
+        model, variables, x = setup
+        for fn in (gradcam, gradcampp):
+            m = fn(model, variables, x, class_idx=1)
+            assert m.shape == (2, 2)
+            assert np.all(np.isfinite(np.asarray(m)))
+
+    def test_smooth_gradcampp(self, setup):
+        model, variables, x = setup
+        m = smooth_gradcampp(model, variables, x, 0, jax.random.PRNGKey(3), num_samples=2)
+        assert m.shape == (2, 2)
+
+    def test_scorecam_family(self, setup):
+        model, variables, x = setup
+        m = scorecam(model, variables, x, 1, batch_size=64)
+        assert m.shape == (2, 2)
+        m = sscam(model, variables, x, 1, jax.random.PRNGKey(4), batch_size=64, num_samples=2)
+        assert m.shape == (2, 2)
+        m = isscam(model, variables, x, 1, batch_size=64, num_samples=2)
+        assert m.shape == (2, 2)
+
+    def test_cam_weights_match_fc_column(self, setup):
+        model, variables, x = setup
+        features, _, _ = backbone_split(model, variables)
+        feats = features(x)
+        w = variables["params"]["fc"]["kernel"][:, 3]
+        expected = (feats[0] * w).sum(-1)
+        expected = (expected - expected.min()) / (expected.max() - expected.min())
+        got = cam(model, variables, x, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+
+class TestRise:
+    def test_shapes_and_determinism(self, setup):
+        model, variables, x = setup
+
+        def forward(imgs):
+            return model.apply(variables, imgs)
+
+        s1 = rise(forward, x, jax.random.PRNGKey(0), num_masks=64, batch_size=32)
+        s2 = rise(forward, x, jax.random.PRNGKey(0), num_masks=64, batch_size=32)
+        assert s1.shape == (5, 64, 64)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        s3 = rise(forward, x, jax.random.PRNGKey(1), num_masks=64, batch_size=32)
+        assert np.abs(np.asarray(s1) - np.asarray(s3)).max() > 0
+
+    def test_constant_model_gives_flat_center(self, setup):
+        # with constant scores, saliency ~ E[mask] which is ~p everywhere
+        def forward(imgs):
+            return jnp.zeros((imgs.shape[0], 3))
+
+        x = jnp.ones((1, 32, 32, 3))
+        s = rise(forward, x, jax.random.PRNGKey(0), num_masks=512, batch_size=64)
+        assert np.allclose(np.asarray(s), 0.5 * 0.5, atol=0.1)  # sigmoid(0)*E[mask]
+
+
+class TestPointingGame:
+    def test_hit_and_miss(self):
+        pg = PointingGame(num_classes=2, tolerance=5)
+        mask = np.zeros((50, 50), np.uint8)
+        mask[10:15, 10:15] = 1
+        assert pg.evaluate(mask, (12, 12)) == 1
+        assert pg.evaluate(mask, (13, 18)) == 1  # within tolerance
+        assert pg.evaluate(mask, (40, 40)) == -1
+        pg.aggregate(1, 0)
+        pg.aggregate(-1, 0)
+        pg.aggregate(1, 1)
+        assert pg.class_accuracies[0] == pytest.approx(0.5)
+        assert pg.accuracy == pytest.approx(0.75)
+
+    def test_saliency_point(self):
+        s = np.zeros((4, 6))
+        s[2, 5] = 1.0
+        assert saliency_point(s) == (5, 2)

@@ -21,7 +21,7 @@ __all__ = [
 ]
 
 
-def build_slot_model(cfg) -> SlotModel:
+def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False) -> SlotModel:
     """Build the SlotModel from a ScouterConfig (load_backbone + SlotModel parity,
     ``sloter/slot_model.py:18-77``).
 
@@ -46,4 +46,6 @@ def build_slot_model(cfg) -> SlotModel:
         power=float(cfg.power),
         to_k_layer=cfg.to_k_layer,
         lambda_value=float(cfg.lambda_value),
+        fused_slot=fused_slot,
+        interpret=interpret,
     )

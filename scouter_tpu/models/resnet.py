@@ -242,12 +242,22 @@ class ResNet(nn.Module):
         train: bool = False,
         features_only: bool = False,
         rngs: Optional[Any] = None,
+        stop_after: Optional[str] = None,
+        start_from: Optional[str] = None,
     ) -> jnp.ndarray:
+        """``stop_after``/``start_from`` ('layer1'..'layer4') split the forward
+        at a stage boundary — the functional replacement for torch forward
+        hooks (used by the IBA bottleneck and layer-targeted attribution):
+        ``stop_after='layer2'`` returns layer2's output; ``start_from='layer2'``
+        consumes such a tensor and resumes at layer3."""
         deep_stem = "deep" in self.stem_type
         inplanes = self.stem_width * 2 if deep_stem else 64
+        resume_after = int(start_from[-1]) if start_from is not None else 0
 
         # ---- Stem (timm/models/resnet.py:398-418)
-        if self.mnist_stem:
+        if start_from is not None:
+            pass  # x is already an intermediate stage output
+        elif self.mnist_stem:
             x = conv2d(64, 3, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
             inplanes = 64
         elif deep_stem:
@@ -267,9 +277,10 @@ class ResNet(nn.Module):
             x = conv2d(inplanes, 3, padding=1, dtype=self.dtype, name="conv1_6")(x)
         else:
             x = conv2d(inplanes, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
-        x = jax.nn.relu(x)
-        x = max_pool_3x3_s2_p1(x)
+        if start_from is None:
+            x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+            x = jax.nn.relu(x)
+            x = max_pool_3x3_s2_p1(x)
 
         # ---- Stages
         block_cls = _BLOCKS[self.block]
@@ -282,6 +293,9 @@ class ResNet(nn.Module):
                 needs_ds = block_idx == 0 and (
                     stride != 1 or current_planes != spec.planes * expansion
                 )
+                current_planes = spec.planes * expansion
+                if stage_idx <= resume_after:
+                    continue  # resuming mid-network: earlier stages not applied
                 kwargs = dict(
                     planes=spec.planes,
                     stride=stride,
@@ -296,7 +310,8 @@ class ResNet(nn.Module):
                 if self.block == "resnest":
                     kwargs.update(radix=self.radix, avd=self.avd, avd_first=self.avd_first)
                 x = block_cls(name=f"layer{stage_idx}_{block_idx}", **kwargs)(x, train)
-                current_planes = spec.planes * expansion
+            if stop_after == f"layer{stage_idx}":
+                return x
 
         if features_only:
             # equivalent of the reference's head neutralization + reshape to the

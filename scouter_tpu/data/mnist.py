@@ -20,11 +20,22 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_mnist", "synthetic_mnist", "mnist_or_synthetic"]
+__all__ = ["load_mnist", "load_mnist_variant", "synthetic_mnist", "mnist_or_synthetic"]
 
 _FILES = {
     True: ("train-images-idx3-ubyte", "train-labels-idx1-ubyte"),
     False: ("t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"),
+}
+
+# The reference vendors Fashion/K/E/QMNIST variants alongside MNIST
+# (dataset/mnist.py:161-421); they share the IDX format and differ only in the
+# download source / subdirectory. Zero-egress: we read from disk.
+_VARIANT_SUBDIRS = {
+    "MNIST": "MNIST",
+    "FashionMNIST": "FashionMNIST",
+    "KMNIST": "KMNIST",
+    "EMNIST": "EMNIST",
+    "QMNIST": "QMNIST",
 }
 
 
@@ -64,6 +75,20 @@ def load_mnist(root: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         f"MNIST IDX files not found under {root!r} (zero-egress build: no download). "
         f"Last: {last_err}"
     )
+
+
+def load_mnist_variant(root: str, variant: str = "MNIST", train: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fashion/K/E/QMNIST loader: same IDX layout under a variant subdirectory."""
+    if variant not in _VARIANT_SUBDIRS:
+        raise ValueError(f"unknown MNIST variant {variant!r}; known: {sorted(_VARIANT_SUBDIRS)}")
+    sub = _VARIANT_SUBDIRS[variant]
+    for candidate in (os.path.join(root, sub), root):
+        try:
+            return load_mnist(candidate, train)
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(f"{variant} IDX files not found under {root!r}")
 
 
 def synthetic_mnist(

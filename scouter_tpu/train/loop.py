@@ -101,6 +101,39 @@ class Trainer:
         )
         self.train_step = make_train_step(self.model, self.tx, float(self.cfg.lambda_value))
 
+    def maybe_use_pre(self) -> None:
+        """use_pre backbone handoff (``sloter/slot_model.py:26-33``): boot the
+        slot model's backbone from the no-slot checkpoint of the same dataset
+        (``saved_model/{ds}_no_slot_checkpoint``), slot head stays fresh."""
+        if not (self.cfg.use_slot and self.cfg.use_pre):
+            return
+        no_slot_cfg = self.cfg.replace(use_slot=False, loss_status=1)
+        path = checkpoint_path(self.cfg.output_dir, no_slot_cfg)
+        import msgpack
+        import flax.serialization as fser
+
+        with open(path, "rb") as f:
+            payload = msgpack.unpackb(f.read(), raw=False)
+        # restore onto a no-slot template to get its params, then graft the
+        # backbone subtree into our state
+        no_slot_model = build_slot_model(no_slot_cfg)
+        sample = np.zeros(
+            (1, self.cfg.img_size, self.cfg.img_size,
+             1 if self.cfg.dataset == "MNIST" else 3), np.float32,
+        )
+        ns_vars = no_slot_model.init(jax.random.PRNGKey(0), sample)
+        ns_state, _ = create_train_state(ns_vars, self.cfg.lr)
+        ns_state = fser.from_bytes(ns_state, payload["state"])
+        variables = {
+            "params": {**self.state.params, "backbone": ns_state.params["backbone"]},
+        }
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = {
+                **self.state.batch_stats, "backbone": ns_state.batch_stats["backbone"],
+            }
+        self.load_variables(variables)
+        print("load pre dataset parameter over")
+
     def maybe_resume(self) -> None:
         path = checkpoint_path(self.cfg.output_dir, self.cfg)
         if self.cfg.resume:
@@ -129,6 +162,7 @@ class Trainer:
 
     def fit(self) -> List[float]:
         cfg = self.cfg
+        self.maybe_use_pre()
         self.maybe_resume()
         start = time.time()
         for epoch in range(self.start_epoch, cfg.epochs):

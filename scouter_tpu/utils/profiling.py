@@ -1,0 +1,54 @@
+"""Tracing / profiling — the TPU-native upgrade over the reference's
+thop/time.time() instrumentation (SURVEY.md §5).
+
+- :func:`trace`: context manager around ``jax.profiler`` producing a TensorBoard
+  trace directory.
+- :class:`Timer`: wall-clock timing with ``block_until_ready`` barriers.
+- :func:`model_cost_analysis`: FLOPs/bytes via XLA cost analysis — replaces the
+  thop profile path (``train.py:126-137``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+__all__ = ["trace", "Timer", "model_cost_analysis"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Accurate device timing: blocks on the result before reading the clock."""
+
+    def __init__(self):
+        self.times = []
+
+    @contextlib.contextmanager
+    def measure(self, result_getter: Optional[Callable[[], Any]] = None):
+        t0 = time.perf_counter()
+        yield
+        if result_getter is not None:
+            jax.block_until_ready(result_getter())
+        self.times.append(time.perf_counter() - t0)
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+
+def model_cost_analysis(fn: Callable, *args) -> Dict[str, float]:
+    """{'flops': ..., 'bytes accessed': ...} for a jitted callable."""
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    return dict(cost) if cost else {}

@@ -1,0 +1,170 @@
+"""Tests for the utility layer + optimizer/scheduler/loss factories + use_pre."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from scouter_tpu.ops.extra_losses import (
+    jsd_cross_entropy,
+    label_smoothing_cross_entropy,
+    soft_target_cross_entropy,
+)
+from scouter_tpu.train.optim_factory import create_optimizer, no_decay_mask
+from scouter_tpu.train.scheduler_factory import PlateauScheduler, create_scheduler
+from scouter_tpu.utils import (
+    CheckpointSaver,
+    ModelEma,
+    evaluate_top1,
+    evaluate_top5,
+    update_summary,
+)
+
+
+class TestMetrics:
+    def test_top1_top5_match_torch_semantics(self):
+        torch.manual_seed(0)
+        logits = torch.randn(32, 10)
+        labels = torch.randint(0, 10, (32,))
+        ref1 = (logits.argmax(1) == labels).float().mean().item()
+        maxk = 5
+        _, pred = logits.topk(maxk, 1, True, True)
+        ref5 = torch.eq(pred, labels.view(-1, 1)).sum().float().item() / 32
+        assert float(evaluate_top1(jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()))) == pytest.approx(ref1)
+        assert float(evaluate_top5(jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()))) == pytest.approx(ref5)
+
+
+class TestEma:
+    def test_decay_math(self):
+        p = {"w": jnp.zeros((3,))}
+        ema = ModelEma(p, decay=0.9)
+        ema.update({"w": jnp.ones((3,))})
+        np.testing.assert_allclose(np.asarray(ema.params["w"]), 0.1, rtol=1e-6)
+
+
+class TestSummary:
+    def test_csv_rows(self, tmp_path):
+        f = str(tmp_path / "summary.csv")
+        update_summary(0, {"loss": 1.0}, {"acc": 0.5}, f)
+        update_summary(1, {"loss": 0.5}, {"acc": 0.6}, f)
+        lines = open(f).read().strip().splitlines()
+        assert lines[0] == "epoch,train_loss,eval_acc"
+        assert len(lines) == 3
+
+
+class TestSaver:
+    def test_topk_ranking(self, tmp_path):
+        saver = CheckpointSaver(str(tmp_path), max_history=2)
+        saver.save_checkpoint(b"a", 0, 0.5)
+        saver.save_checkpoint(b"b", 1, 0.7)
+        saver.save_checkpoint(b"c", 2, 0.6)  # evicts 0.5
+        kept = {m for _, m in saver.checkpoint_files}
+        assert kept == {0.7, 0.6}
+        assert saver.best_metric == 0.7
+        assert os.path.exists(os.path.join(str(tmp_path), "model_best.msgpack"))
+
+    def test_recovery(self, tmp_path):
+        saver = CheckpointSaver(str(tmp_path))
+        saver.save_recovery(b"x", 1, 10)
+        p = saver.save_recovery(b"y", 1, 20)
+        assert saver.find_recovery() == p
+        files = [f for f in os.listdir(str(tmp_path)) if f.startswith("recovery")]
+        assert len(files) == 1
+
+
+class TestOptimFactory:
+    @pytest.mark.parametrize("name", ["sgd", "adam", "adamw", "radam", "nadam",
+                                      "rmsprop", "novograd", "lamb", "lookahead_adamw"])
+    def test_optimizers_step(self, name):
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        tx = create_optimizer(name, lr=0.01, weight_decay=0.01, params=params)
+        state = tx.init(params)
+        grads = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+        updates, state = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+
+    def test_no_decay_mask(self):
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,)), "scale": jnp.ones((4,))}
+        mask = no_decay_mask(params)
+        assert mask["w"] is True and mask["b"] is False and mask["scale"] is False
+
+
+class TestSchedFactory:
+    def test_step_matches_reference_steplr(self):
+        s = create_scheduler("step", 1e-4, epochs=200, decay_epochs=70)
+        assert s(0) == pytest.approx(1e-4)
+        assert s(70) == pytest.approx(1e-5)
+
+    def test_cosine_with_warmup(self):
+        s = create_scheduler("cosine", 1.0, epochs=10, warmup_epochs=2, warmup_lr_init=0.0,
+                             min_lr=0.0)
+        assert s(0) == pytest.approx(0.0)
+        assert s(1) == pytest.approx(0.5)
+        assert s(2) == pytest.approx(1.0)  # cosine start
+        assert s(10) < 0.05
+
+    def test_tanh_monotone(self):
+        s = create_scheduler("tanh", 1.0, epochs=10, min_lr=0.01)
+        vals = [s(e) for e in range(10)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def test_plateau(self):
+        p = PlateauScheduler(1.0, patience=1, decay_rate=0.1)
+        assert p.step(0.5) == 1.0
+        assert p.step(0.5) == 1.0  # bad 1
+        assert p.step(0.5) == pytest.approx(0.1)  # bad 2 > patience
+
+
+class TestExtraLosses:
+    def test_label_smoothing_matches_manual(self):
+        torch.manual_seed(1)
+        logits = torch.randn(8, 5)
+        labels = torch.randint(0, 5, (8,))
+        logp = torch.nn.functional.log_softmax(logits, dim=-1)
+        nll = -logp.gather(1, labels[:, None]).squeeze(1)
+        ref = (0.9 * nll + 0.1 * (-logp.mean(-1))).mean().item()
+        got = float(label_smoothing_cross_entropy(
+            jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()), 0.1))
+        assert got == pytest.approx(ref, rel=1e-5)
+
+    def test_soft_target(self):
+        logits = jnp.asarray([[2.0, 0.0], [0.0, 2.0]])
+        onehot = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        val = float(soft_target_cross_entropy(logits, onehot))
+        ref = float(-jax.nn.log_softmax(logits)[0, 0])
+        assert val == pytest.approx(ref, rel=1e-6)
+
+    def test_jsd_zero_for_identical(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(4, 6).astype(np.float32))
+        labels = jnp.asarray([0, 1, 2, 3])
+        j_same = float(jsd_cross_entropy(logits, logits, logits, labels, alpha=12.0))
+        ce = float(label_smoothing_cross_entropy(logits, labels))
+        assert j_same == pytest.approx(ce, rel=1e-5)
+
+
+class TestUsePre:
+    def test_backbone_handoff(self, tmp_path):
+        from scouter_tpu.core.checkpoint import save_checkpoint
+        from scouter_tpu.train import Trainer
+        from test_train import make_datasets, small_cfg
+
+        # 1) train the no-slot model one epoch and save its checkpoint
+        ns_cfg = small_cfg(use_slot=False, output_dir=str(tmp_path))
+        t1 = Trainer(ns_cfg, datasets=make_datasets())
+        t1.run_epoch(0, "train")
+        save_checkpoint(str(tmp_path), ns_cfg, t1.state, 0)
+        bb_kernel = np.asarray(t1.state.params["backbone"]["conv1"]["kernel"])
+
+        # 2) build the slot model with use_pre and verify backbone params moved in
+        slot_cfg = small_cfg(use_slot=True, use_pre=True, output_dir=str(tmp_path))
+        t2 = Trainer(slot_cfg, datasets=make_datasets())
+        before = np.asarray(t2.state.params["backbone"]["conv1"]["kernel"])
+        assert np.abs(before - bb_kernel).max() > 0  # different init
+        t2.maybe_use_pre()
+        after = np.asarray(t2.state.params["backbone"]["conv1"]["kernel"])
+        np.testing.assert_array_equal(after, bb_kernel)

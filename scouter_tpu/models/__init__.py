@@ -21,7 +21,8 @@ __all__ = [
 ]
 
 
-def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False) -> SlotModel:
+def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
+                     dtype=None) -> SlotModel:
     """Build the SlotModel from a ScouterConfig (load_backbone + SlotModel parity,
     ``sloter/slot_model.py:18-77``).
 
@@ -35,6 +36,7 @@ def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False) -> 
         num_classes=cfg.num_classes,
         in_chans=1 if mnist else 3,
         mnist_stem=mnist,
+        dtype=dtype,
     )
     return SlotModel(
         backbone=backbone,
@@ -48,4 +50,5 @@ def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False) -> 
         lambda_value=float(cfg.lambda_value),
         fused_slot=fused_slot,
         interpret=interpret,
+        dtype=dtype,
     )

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .act import relu as _act_relu
+
 __all__ = [
     "conv2d",
     "batch_norm",
@@ -129,7 +131,7 @@ class SqueezeExcite(nn.Module):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         reduced = self.channels // self.reduction
         s = nn.Conv(reduced, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
-        s = jax.nn.relu(s)
+        s = _act_relu(s)
         s = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(s)
         return x * jax.nn.sigmoid(s)
 
@@ -170,7 +172,7 @@ class SplitAttnConv(nn.Module):
             name="conv",
         )(x)
         x = batch_norm(train, dtype=self.dtype, name="bn0")(x)
-        x = jax.nn.relu(x)
+        x = _act_relu(x)
 
         b, h, w, rc = x.shape
         if self.radix > 1:
@@ -185,7 +187,7 @@ class SplitAttnConv(nn.Module):
         gap = nn.Conv(attn_chs, (1, 1), feature_group_count=self.groups, use_bias=True,
                       dtype=self.dtype, name="fc1")(gap)
         gap = batch_norm(train, dtype=self.dtype, name="bn1")(gap)
-        gap = jax.nn.relu(gap)
+        gap = _act_relu(gap)
         attn = nn.Conv(mid_chs, (1, 1), feature_group_count=self.groups, use_bias=True,
                        dtype=self.dtype, name="fc2")(gap)  # (B,1,1,mid)
 

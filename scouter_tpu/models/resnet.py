@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .act import relu as _act_relu
 from .layers import (
     SplitAttnConv,
     avg_pool_ceil_exclude_pad,
@@ -83,14 +84,14 @@ class _BasicBlock(nn.Module):
         out = conv2d(self.planes, 3, stride=self.stride, padding=self.first_dilation,
                      dilation=self.first_dilation, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
-        out = jax.nn.relu(out)
+        out = _act_relu(out)
         out = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return jax.nn.relu(out + residual)
+        return _act_relu(out + residual)
 
 
 class _Bottleneck(nn.Module):
@@ -113,18 +114,18 @@ class _Bottleneck(nn.Module):
         residual = x
         out = conv2d(width, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
-        out = jax.nn.relu(out)
+        out = _act_relu(out)
         out = conv2d(width, 3, stride=self.stride, padding=self.first_dilation,
                      dilation=self.first_dilation, groups=self.cardinality,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
-        out = jax.nn.relu(out)
+        out = _act_relu(out)
         out = conv2d(outplanes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return jax.nn.relu(out + residual)
+        return _act_relu(out + residual)
 
 
 class _ResNestBottleneck(nn.Module):
@@ -156,7 +157,7 @@ class _ResNestBottleneck(nn.Module):
         residual = x
         out = conv2d(group_width, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
-        out = jax.nn.relu(out)
+        out = _act_relu(out)
         if avd_stride > 0 and self.avd_first:
             out = avg_pool_include_pad(out, 3, avd_stride, 1)
         out = SplitAttnConv(
@@ -171,7 +172,7 @@ class _ResNestBottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return jax.nn.relu(out + residual)
+        return _act_relu(out + residual)
 
 
 _BLOCKS = {"basic": _BasicBlock, "bottleneck": _Bottleneck, "resnest": _ResNestBottleneck}
@@ -270,16 +271,16 @@ class ResNet(nn.Module):
                 stem_chs_1 = stem_chs_2 = self.stem_width
             x = conv2d(stem_chs_1, 3, stride=2, padding=1, dtype=self.dtype, name="conv1_0")(x)
             x = batch_norm(train, dtype=self.dtype, name="conv1_1")(x)
-            x = jax.nn.relu(x)
+            x = _act_relu(x)
             x = conv2d(stem_chs_2, 3, padding=1, dtype=self.dtype, name="conv1_3")(x)
             x = batch_norm(train, dtype=self.dtype, name="conv1_4")(x)
-            x = jax.nn.relu(x)
+            x = _act_relu(x)
             x = conv2d(inplanes, 3, padding=1, dtype=self.dtype, name="conv1_6")(x)
         else:
             x = conv2d(inplanes, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
         if start_from is None:
             x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
-            x = jax.nn.relu(x)
+            x = _act_relu(x)
             x = max_pool_3x3_s2_p1(x)
 
         # ---- Stages

@@ -120,6 +120,35 @@ class TestTorchParity:
         out = model.apply(variables, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100"])
+    def test_efficientnet_family_matches_torch(self, name):
+        import torch
+
+        torch.manual_seed(5)
+        ref = _make_ref_model(name, num_classes=6)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model(name, num_classes=6)
+        x = np.random.RandomState(5).randn(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_densenet121_matches_torch(self):
+        import torch
+
+        torch.manual_seed(4)
+        ref = _make_ref_model("densenet121", num_classes=7)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model("densenet121", num_classes=7)
+        x = np.random.RandomState(4).randn(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
+
     def test_features_match_torch_resnet18(self):
         import torch
 

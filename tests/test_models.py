@@ -120,7 +120,8 @@ class TestTorchParity:
         out = model.apply(variables, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
-    @pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100"])
+    @pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100",
+                                      "seresnet18", "seresnext26_32x4d"])
     def test_efficientnet_family_matches_torch(self, name):
         import torch
 

@@ -1,0 +1,174 @@
+"""XAI-baseline comparison driver — torchcam_vis.py capability.
+
+The reference script (``torchcam_vis.py:56-267``) loads the *backbone-only*
+model (``load_backbone``, never the slot module), takes one validation image,
+and renders saliency maps from every attribution family side by side: IGOS,
+RISE, extremal perturbation, IBA, and the torchcam CAM suite, one map per
+class. This driver does the same against the JAX backbone, writing
+``<out_dir>/<method>_<class>.png`` overlays.
+
+Method set: cam, gradcam, gradcampp, smooth_gradcampp, scorecam, sscam, isscam,
+gradient, deconvnet, guided_backprop, linear_approx, rise, extremal, igos, iba.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["compare_methods", "main"]
+
+
+def compare_methods(
+    model,
+    variables,
+    image_u8: np.ndarray,
+    class_indices: List[int],
+    out_dir: str,
+    *,
+    dataset: str = "ImageNet",
+    img_size: int = 260,
+    methods: Optional[List[str]] = None,
+    seed: int = 0,
+    fast: bool = False,
+) -> Dict[str, Dict[int, np.ndarray]]:
+    """Run the attribution suite for the given classes; returns method -> class
+    -> (h, w) maps and writes jet overlays."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.transforms import preprocess_batch
+    from . import cam as cam_mod
+    from .backprop import deconvnet, gradient_saliency, guided_backprop, linear_approx
+    from .extremal import extremal_perturbation
+    from .igos import gaussian_blur_baseline, integrated_mask
+    from .rise import rise
+    from .vis import apply_colormap_on_image
+
+    x = preprocess_batch(jnp.asarray(image_u8[None]), dataset=dataset, img_size=img_size)
+
+    def forward(imgs):
+        return model.apply(variables, imgs)
+
+    key = jax.random.PRNGKey(seed)
+    n_masks = 400 if fast else 8000
+    ep_iters = 50 if fast else 800
+    igos_iters = 5 if fast else 15
+
+    methods = methods or [
+        "cam", "gradcam", "gradcampp", "smooth_gradcampp", "scorecam",
+        "gradient", "guided_backprop", "rise", "extremal", "igos",
+    ]
+    results: Dict[str, Dict[int, np.ndarray]] = {m: {} for m in methods}
+
+    rise_maps = None
+    if "rise" in methods:
+        rise_maps = rise(forward, x, key, num_masks=n_masks)
+
+    for c in class_indices:
+        for m in methods:
+            if m == "cam":
+                sal = cam_mod.cam(model, variables, x, c)
+            elif m == "gradcam":
+                sal = cam_mod.gradcam(model, variables, x, c)
+            elif m == "gradcampp":
+                sal = cam_mod.gradcampp(model, variables, x, c)
+            elif m == "smooth_gradcampp":
+                sal = cam_mod.smooth_gradcampp(model, variables, x, c, key)
+            elif m == "scorecam":
+                sal = cam_mod.scorecam(model, variables, x, c)
+            elif m == "sscam":
+                sal = cam_mod.sscam(model, variables, x, c, key)
+            elif m == "isscam":
+                sal = cam_mod.isscam(model, variables, x, c)
+            elif m == "gradient":
+                sal = gradient_saliency(model, variables, x, c)
+            elif m == "deconvnet":
+                sal = deconvnet(model, variables, x, c)
+            elif m == "guided_backprop":
+                sal = guided_backprop(model, variables, x, c)
+            elif m == "linear_approx":
+                sal = linear_approx(model, variables, x, c)
+            elif m == "rise":
+                sal = rise_maps[c]
+            elif m == "extremal":
+                masks, _ = extremal_perturbation(forward, x, c, max_iter=ep_iters)
+                sal = masks[0, :, :, 0]
+            elif m == "igos":
+                blurred = gaussian_blur_baseline(x)
+                res = integrated_mask(forward, x, blurred, c, key,
+                                      max_iterations=igos_iters)
+                sal = 1.0 - res.upsampled  # 0 = important in IGOS
+            else:
+                raise ValueError(f"unknown method {m!r}")
+            # degenerate maps (all-zero after ReLU) min-max normalize to nan in
+            # the reference as well; sanitize for rendering/aggregation
+            results[m][c] = np.nan_to_num(np.asarray(sal))
+
+    os.makedirs(out_dir, exist_ok=True)
+    from PIL import Image
+
+    raw = Image.fromarray(image_u8.squeeze() if image_u8.shape[-1] == 1 else image_u8)
+    raw_rgb = raw.convert("RGB")
+    for m, per_class in results.items():
+        for c, sal in per_class.items():
+            s = sal - sal.min()
+            denom = s.max() if s.max() > 0 else 1.0
+            s8 = (s / denom * 255).astype(np.uint8)
+            s_img = Image.fromarray(s8, mode="L").resize(raw_rgb.size, Image.BILINEAR)
+            _, overlaid = apply_colormap_on_image(raw_rgb, np.array(s_img), "jet")
+            overlaid.save(os.path.join(out_dir, f"{m}_{c}.png"))
+    return results
+
+
+def main(argv=None):
+    import jax
+
+    from ..core.checkpoint import checkpoint_path, restore_checkpoint
+    from ..core.config import config_from_args, get_args_parser
+    from ..data import select_dataset
+    from ..models import create_model
+    from ..train.state import create_train_state
+
+    parser = argparse.ArgumentParser(
+        "SCOUTER-TPU attribution comparison (torchcam_vis parity)",
+        parents=[get_args_parser()],
+    )
+    parser.add_argument("--methods", default="", help="comma list; empty = default set")
+    parser.add_argument("--fast", default=False, action="store_true")
+    ns = parser.parse_args(argv)
+    cfg = config_from_args(ns)
+
+    # backbone-only, like load_backbone in torchcam_vis (:109)
+    model = create_model(cfg.model, num_classes=cfg.num_classes,
+                         in_chans=1 if cfg.dataset == "MNIST" else 3,
+                         mnist_stem=cfg.dataset == "MNIST")
+    import jax.numpy as jnp
+
+    sample = jnp.zeros((1, cfg.img_size, cfg.img_size,
+                        1 if cfg.dataset == "MNIST" else 3))
+    variables = model.init(jax.random.PRNGKey(0), sample)
+
+    no_slot_cfg = cfg.replace(use_slot=False)
+    path = checkpoint_path(cfg.output_dir, no_slot_cfg)
+    if os.path.exists(path):
+        state, _ = create_train_state(variables, cfg.lr)
+        state, _, _ = restore_checkpoint(path, state)
+        variables = state.variables()
+        # drop the slot-model nesting if present
+        if "backbone" in variables.get("params", {}):
+            variables = {k: v["backbone"] for k, v in variables.items()}
+
+    ds_val = select_dataset(cfg, train=False)
+    image_u8 = ds_val.images[cfg.vis_id]
+    methods = [m for m in ns.methods.split(",") if m] or None
+    compare_methods(model, variables, image_u8, list(range(cfg.num_classes)),
+                    out_dir="vis_compare", dataset=cfg.dataset,
+                    img_size=cfg.img_size, methods=methods, fast=ns.fast)
+
+
+if __name__ == "__main__":
+    main()

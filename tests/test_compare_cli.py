@@ -1,0 +1,28 @@
+"""Smoke test for the attribution comparison driver (fast mode, tiny model)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scouter_tpu.explain.compare_cli import compare_methods
+from scouter_tpu.models import create_model
+
+
+def test_compare_methods_end_to_end(tmp_path):
+    model = create_model("resnet10", num_classes=3)
+    x8 = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    results = compare_methods(
+        model, variables, x8, [0, 2], str(tmp_path),
+        dataset="ImageNet", img_size=64,
+        methods=["cam", "gradcam", "gradient", "rise", "igos"], fast=True,
+    )
+    assert set(results) == {"cam", "gradcam", "gradient", "rise", "igos"}
+    for m, per_class in results.items():
+        assert set(per_class) == {0, 2}
+        for c, sal in per_class.items():
+            assert sal.ndim == 2 and np.all(np.isfinite(sal)), (m, c)
+            assert os.path.exists(str(tmp_path / f"{m}_{c}.png"))

@@ -36,7 +36,8 @@ __all__ = ["ResNet", "BlockKind"]
 
 BlockKind = str  # 'basic' | 'bottleneck' | 'resnest'
 
-_EXPANSION = {"basic": 1, "bottleneck": 4, "resnest": 4}
+_EXPANSION = {"basic": 1, "bottleneck": 4, "resnest": 4, "res2net": 4,
+              "sk_basic": 1, "sk_bottleneck": 4}
 
 
 class _Downsample(nn.Module):
@@ -175,7 +176,220 @@ class _ResNestBottleneck(nn.Module):
         return _act_relu(out + residual)
 
 
-_BLOCKS = {"basic": _BasicBlock, "bottleneck": _Bottleneck, "resnest": _ResNestBottleneck}
+class _Res2NetBottleneck(nn.Module):
+    """Res2Net Bottle2neck (``timm/models/res2net.py:47-130``): the 3x3 conv is
+    split into `scale` width-groups with hierarchical residual connections; the
+    last split passes through (avg-pooled on stride blocks)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    first_dilation: int = 1
+    cardinality: int = 1
+    base_width: int = 26
+    scale: int = 4
+    has_downsample: bool = False
+    avg_down: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _math
+
+        width = int(_math.floor(self.planes * (self.base_width / 64.0))) * self.cardinality
+        outplanes = self.planes * 4
+        num_scales = max(1, self.scale - 1)
+        is_first = self.stride > 1 or self.has_downsample
+
+        residual = x
+        out = conv2d(width * self.scale, 1, padding=0, dtype=self.dtype, name="conv1")(x)
+        out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
+        out = _act_relu(out)
+
+        splits = [out[..., i * width:(i + 1) * width] for i in range(self.scale)]
+        outs = []
+        sp = None
+        for i in range(num_scales):
+            sp = splits[i] if (i == 0 or is_first) else sp + splits[i]
+            sp = conv2d(width, 3, stride=self.stride, padding=self.first_dilation,
+                        dilation=self.first_dilation, groups=self.cardinality,
+                        dtype=self.dtype, name=f"convs_{i}")(sp)
+            sp = batch_norm(train, dtype=self.dtype, name=f"bns_{i}")(sp)
+            sp = _act_relu(sp)
+            outs.append(sp)
+        if self.scale > 1:
+            last = splits[-1]
+            if is_first:
+                last = avg_pool_include_pad(last, 3, self.stride, 1)
+            outs.append(last)
+        out = jnp.concatenate(outs, axis=-1)
+
+        out = conv2d(outplanes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
+        out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
+        if self.has_downsample:
+            residual = _Downsample(outplanes, self.stride, self.avg_down,
+                                   dtype=self.dtype, name="downsample")(x, train)
+        return _act_relu(out + residual)
+
+
+class _ConvBn(nn.Module):
+    """ConvBnAct wrapper with torch child names (conv, bn)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    dilation: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(self.features, self.kernel_size, stride=self.stride,
+                   padding=self.padding, dilation=self.dilation, groups=self.groups,
+                   dtype=self.dtype, name="conv")(x)
+        x = batch_norm(train, dtype=self.dtype, name="bn")(x)
+        return _act_relu(x) if self.act else x
+
+
+class _SKAttn(nn.Module):
+    """SelectiveKernelAttn (``selective_kernel.py:20-47``)."""
+
+    channels: int
+    num_paths: int
+    attn_channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, stacked, train: bool = False):
+        s = stacked.sum(axis=1).mean(axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        s = nn.Conv(self.attn_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fc_reduce")(s)
+        s = batch_norm(train, dtype=self.dtype, name="bn")(s)
+        s = _act_relu(s)
+        s = nn.Conv(self.channels * self.num_paths, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="fc_select")(s)
+        s = s.reshape(s.shape[0], 1, 1, self.num_paths, self.channels)
+        return jax.nn.softmax(s, axis=3).transpose(0, 3, 1, 2, 4)  # (B,P,1,1,C)
+
+
+class _SKConv(nn.Module):
+    """SelectiveKernelConv (``timm/models/layers/selective_kernel.py:50-117``):
+    two 3x3 branches (dilation 1 and 2 for the nominal 3/5 kernels), softmax
+    path attention over the summed branch features."""
+
+    out_channels: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    attn_reduction: int = 16
+    min_attn_channels: int = 32
+    split_input: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dilations = [self.dilation * (k - 1) // 2 for k in (3, 5)]  # keep_3x3
+        num_paths = len(dilations)
+        in_full = x.shape[-1]
+        groups = min(self.out_channels, self.groups)
+
+        paths = []
+        for i, d in enumerate(dilations):
+            xin = x
+            if self.split_input:
+                w = in_full // num_paths
+                xin = x[..., i * w:(i + 1) * w]
+            p = _ConvBn(self.out_channels, 3, stride=self.stride, padding=d,
+                        dilation=d, groups=groups, dtype=self.dtype,
+                        name=f"paths_{i}")(xin, train)
+            paths.append(p)
+        stacked = jnp.stack(paths, axis=1)  # (B, P, H, W, C)
+
+        attn_chs = max(int(self.out_channels / self.attn_reduction), self.min_attn_channels)
+        attn = _SKAttn(self.out_channels, num_paths, attn_chs, dtype=self.dtype,
+                       name="attn")(stacked, train)
+        return (stacked * attn).sum(axis=1)
+
+
+class _SKBasicBlock(nn.Module):
+    """SelectiveKernelBasic (``timm/models/sknet.py:45-89``)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    first_dilation: int = 1
+    sk_attn_reduction: int = 16
+    sk_min_attn_channels: int = 32
+    sk_split_input: bool = False
+    has_downsample: bool = False
+    avg_down: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = _SKConv(
+            self.planes, stride=self.stride, dilation=self.first_dilation,
+            attn_reduction=self.sk_attn_reduction,
+            min_attn_channels=self.sk_min_attn_channels,
+            split_input=self.sk_split_input, dtype=self.dtype, name="conv1",
+        )(x, train)
+        out = _ConvBn(self.planes, 3, padding=self.dilation, dilation=self.dilation,
+                      act=False, dtype=self.dtype, name="conv2")(out, train)
+        if self.has_downsample:
+            residual = _Downsample(self.planes, self.stride, self.avg_down,
+                                   dtype=self.dtype, name="downsample")(x, train)
+        return _act_relu(out + residual)
+
+
+class _SKBottleneck(nn.Module):
+    """SelectiveKernelBottleneck (``timm/models/sknet.py:92-137``)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    first_dilation: int = 1
+    cardinality: int = 1
+    base_width: int = 64
+    sk_attn_reduction: int = 16
+    sk_min_attn_channels: int = 32
+    sk_split_input: bool = False
+    has_downsample: bool = False
+    avg_down: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _math
+
+        width = int(_math.floor(self.planes * (self.base_width / 64)) * self.cardinality)
+        outplanes = self.planes * 4
+        residual = x
+        out = _ConvBn(width, 1, padding=0, dtype=self.dtype, name="conv1")(x, train)
+        out = _SKConv(
+            width, stride=self.stride, dilation=self.first_dilation,
+            groups=self.cardinality, attn_reduction=self.sk_attn_reduction,
+            min_attn_channels=self.sk_min_attn_channels,
+            split_input=self.sk_split_input, dtype=self.dtype, name="conv2",
+        )(out, train)
+        out = _ConvBn(outplanes, 1, padding=0, act=False, dtype=self.dtype,
+                      name="conv3")(out, train)
+        if self.has_downsample:
+            residual = _Downsample(outplanes, self.stride, self.avg_down,
+                                   dtype=self.dtype, name="downsample")(x, train)
+        return _act_relu(out + residual)
+
+
+_BLOCKS = {
+    "basic": _BasicBlock,
+    "bottleneck": _Bottleneck,
+    "resnest": _ResNestBottleneck,
+    "res2net": _Res2NetBottleneck,
+    "sk_basic": _SKBasicBlock,
+    "sk_bottleneck": _SKBottleneck,
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +438,10 @@ class ResNet(nn.Module):
     radix: int = 2
     avd: bool = True
     avd_first: bool = False
+    scale: int = 4  # res2net
+    sk_attn_reduction: int = 16  # sknet
+    sk_min_attn_channels: int = 32
+    sk_split_input: bool = False
     drop_rate: float = 0.0
     mnist_stem: bool = False
     dtype: Optional[jnp.dtype] = None
@@ -306,10 +524,18 @@ class ResNet(nn.Module):
                     avg_down=self.avg_down,
                     dtype=self.dtype,
                 )
-                if self.block in ("bottleneck", "resnest"):
+                if self.block in ("bottleneck", "resnest", "res2net", "sk_bottleneck"):
                     kwargs.update(cardinality=self.cardinality, base_width=self.base_width)
                 if self.block == "resnest":
                     kwargs.update(radix=self.radix, avd=self.avd, avd_first=self.avd_first)
+                if self.block == "res2net":
+                    kwargs.update(scale=self.scale)
+                if self.block in ("sk_basic", "sk_bottleneck"):
+                    kwargs.update(
+                        sk_attn_reduction=self.sk_attn_reduction,
+                        sk_min_attn_channels=self.sk_min_attn_channels,
+                        sk_split_input=self.sk_split_input,
+                    )
                 x = block_cls(name=f"layer{stage_idx}_{block_idx}", **kwargs)(x, train)
             if stop_after == f"layer{stage_idx}":
                 return x

@@ -82,6 +82,76 @@ def resnext50_32x4d(num_classes=1000, in_chans=3, **kw):
                   base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)
 
 
+# --------------------------------------------------------------- res2net family
+@register_model
+def res2net50_26w_4s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=26, scale=4,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2net50_26w_6s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=26, scale=6,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2net50_26w_8s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=26, scale=8,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2net50_48w_2s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=48, scale=2,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2net50_14w_8s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=14, scale=8,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2net101_26w_4s(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 23, 3), base_width=26, scale=4,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def res2next50(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="res2net", layers=(3, 4, 6, 3), base_width=4, scale=4,
+                  cardinality=8, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+# ----------------------------------------------------------------- sknet family
+@register_model
+def skresnet18(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="sk_basic", layers=(2, 2, 2, 2), sk_min_attn_channels=16,
+                  sk_attn_reduction=8, sk_split_input=True,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def skresnet34(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="sk_basic", layers=(3, 4, 6, 3), sk_min_attn_channels=16,
+                  sk_attn_reduction=8, sk_split_input=True,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def skresnet50(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="sk_bottleneck", layers=(3, 4, 6, 3), sk_split_input=True,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def skresnext50_32x4d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="sk_bottleneck", layers=(3, 4, 6, 3), cardinality=32,
+                  base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
 # --------------------------------------------------------------- resnest family
 def _resnest(layers, stem_width, num_classes, in_chans, **kw):
     return ResNet(

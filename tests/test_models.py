@@ -121,7 +121,8 @@ class TestTorchParity:
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
     @pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100",
-                                      "seresnet18", "seresnext26_32x4d"])
+                                      "seresnet18", "seresnext26_32x4d",
+                                      "res2net50_26w_4s", "skresnet18"])
     def test_efficientnet_family_matches_torch(self, name):
         import torch
 

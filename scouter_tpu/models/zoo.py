@@ -82,6 +82,78 @@ def resnext50_32x4d(num_classes=1000, in_chans=3, **kw):
                   base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)
 
 
+@register_model
+def resnext101_32x8d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 23, 3), cardinality=32,
+                  base_width=8, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def wide_resnet50_2(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), base_width=128,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def wide_resnet101_2(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 23, 3), base_width=128,
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+# ------------------------------------------------- gluon resnet variants
+# (timm/models/gluon_resnet.py: the same universal ResNet with MXNet-style
+#  stem/downsample configs — v1b plain, v1c deep stem, v1d deep+avg_down,
+#  v1s deep stem width 64)
+def _gluon(layers, block, num_classes, in_chans, stem="", stem_w=64, avg=False, **kw):
+    return ResNet(block=block, layers=layers, stem_type=stem, stem_width=stem_w,
+                  avg_down=avg, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def gluon_resnet50_v1b(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 6, 3), "bottleneck", num_classes, in_chans, **kw)
+
+
+@register_model
+def gluon_resnet50_v1c(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 6, 3), "bottleneck", num_classes, in_chans,
+                  stem="deep", stem_w=32, **kw)
+
+
+@register_model
+def gluon_resnet50_v1d(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 6, 3), "bottleneck", num_classes, in_chans,
+                  stem="deep", stem_w=32, avg=True, **kw)
+
+
+@register_model
+def gluon_resnet50_v1s(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 6, 3), "bottleneck", num_classes, in_chans,
+                  stem="deep", stem_w=64, **kw)
+
+
+@register_model
+def gluon_resnet101_v1b(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 23, 3), "bottleneck", num_classes, in_chans, **kw)
+
+
+@register_model
+def gluon_resnet101_v1d(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 4, 23, 3), "bottleneck", num_classes, in_chans,
+                  stem="deep", stem_w=32, avg=True, **kw)
+
+
+@register_model
+def gluon_resnet152_v1b(num_classes=1000, in_chans=3, **kw):
+    return _gluon((3, 8, 36, 3), "bottleneck", num_classes, in_chans, **kw)
+
+
+@register_model
+def gluon_resnext50_32x4d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), cardinality=32,
+                  base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
 # --------------------------------------------------------------- res2net family
 @register_model
 def res2net50_26w_4s(num_classes=1000, in_chans=3, **kw):

@@ -137,6 +137,25 @@ class TestTorchParity:
         out = model.apply(variables, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("name", ["xception", "ese_vovnet19b_dw", "inception_v3"])
+    def test_other_families_match_torch(self, name):
+        import torch
+
+        torch.manual_seed(6)
+        ref = _make_ref_model(name, num_classes=6)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model(name, num_classes=6)
+        size = 299 if name == "inception_v3" else 96
+        x = np.random.RandomState(6).randn(1, size, size, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(model.apply(variables, jnp.asarray(x)))
+        # untrained deep nets can have huge activation magnitudes; compare
+        # relative error
+        rel = np.abs(out - ref_out) / (np.abs(ref_out) + 1e-3)
+        assert rel.max() < 1e-3, rel.max()
+
     def test_densenet121_matches_torch(self):
         import torch
 

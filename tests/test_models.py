@@ -137,7 +137,8 @@ class TestTorchParity:
         out = model.apply(variables, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
-    @pytest.mark.parametrize("name", ["xception", "ese_vovnet19b_dw", "inception_v3"])
+    @pytest.mark.parametrize("name", ["xception", "ese_vovnet19b_dw", "inception_v3",
+                                      "selecsls42b", "dpn68b"])
     def test_other_families_match_torch(self, name):
         import torch
 

@@ -15,11 +15,30 @@ from typing import Callable, Optional
 import jax
 
 _RELU_OVERRIDE: Optional[Callable] = None
+_ADD_OVERRIDE: Optional[Callable] = None
 
 
 def relu(x):
     f = _RELU_OVERRIDE
     return jax.nn.relu(x) if f is None else f(x)
+
+
+def residual_add(a, b):
+    """Skip-connection add — overridable for excitation backprop's eltwise rule
+    (``torchray/attribution/excitation_backprop.py:459-502``)."""
+    f = _ADD_OVERRIDE
+    return a + b if f is None else f(a, b)
+
+
+@contextlib.contextmanager
+def override_residual_add(fn: Callable):
+    global _ADD_OVERRIDE
+    prev = _ADD_OVERRIDE
+    _ADD_OVERRIDE = fn
+    try:
+        yield
+    finally:
+        _ADD_OVERRIDE = prev
 
 
 @contextlib.contextmanager

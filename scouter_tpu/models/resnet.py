@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu as _act_relu
+from .act import residual_add as _residual_add
 from .layers import (
     SplitAttnConv,
     avg_pool_ceil_exclude_pad,
@@ -92,7 +93,7 @@ class _BasicBlock(nn.Module):
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 class _Bottleneck(nn.Module):
@@ -126,7 +127,7 @@ class _Bottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 class _ResNestBottleneck(nn.Module):
@@ -173,7 +174,7 @@ class _ResNestBottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 class _Res2NetBottleneck(nn.Module):
@@ -229,7 +230,7 @@ class _Res2NetBottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 class _ConvBn(nn.Module):
@@ -341,7 +342,7 @@ class _SKBasicBlock(nn.Module):
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 class _SKBottleneck(nn.Module):
@@ -379,7 +380,7 @@ class _SKBottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
-        return _act_relu(out + residual)
+        return _act_relu(_residual_add(out, residual))
 
 
 _BLOCKS = {

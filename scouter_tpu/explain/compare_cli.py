@@ -102,6 +102,14 @@ def compare_methods(
                 res = integrated_mask(forward, x, blurred, c, key,
                                       max_iterations=igos_iters)
                 sal = 1.0 - res.upsampled  # 0 = important in IGOS
+            elif m == "deeplift":
+                from .deeplift import layer_deeplift
+
+                sal = layer_deeplift(model, variables, x, c).sum(axis=-1)
+            elif m == "excitation":
+                from .excitation import excitation_backprop
+
+                sal = excitation_backprop(model, variables, x, c)
             else:
                 raise ValueError(f"unknown method {m!r}")
             # degenerate maps (all-zero after ReLU) min-max normalize to nan in

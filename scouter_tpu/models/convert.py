@@ -77,8 +77,8 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
     for key, value in state_dict.items():
         segs = key.split(".")
         leaf_name = segs[-1]
-        if leaf_name == "num_batches_tracked":
-            continue
+        if leaf_name in ("num_batches_tracked", "filt"):
+            continue  # bookkeeping / fixed blur-filter buffers
 
         # ---- xSlot subtree: torch layout preserved, flat param names
         if "slot" in segs:

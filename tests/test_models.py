@@ -138,7 +138,8 @@ class TestTorchParity:
         np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-3, atol=1e-3)
 
     @pytest.mark.parametrize("name", ["xception", "ese_vovnet19b_dw", "inception_v3",
-                                      "selecsls42b", "dpn68b", "regnety_004"])
+                                      "selecsls42b", "dpn68b", "regnety_004",
+                                      "inception_v4", "gluon_xception65", "dla34"])
     def test_other_families_match_torch(self, name):
         import torch
 

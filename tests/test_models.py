@@ -139,7 +139,8 @@ class TestTorchParity:
 
     @pytest.mark.parametrize("name", ["xception", "ese_vovnet19b_dw", "inception_v3",
                                       "selecsls42b", "dpn68b", "regnety_004",
-                                      "inception_v4", "gluon_xception65", "dla34"])
+                                      "inception_v4", "gluon_xception65", "dla34",
+                                      "hrnet_w18_small", "tresnet_m"])
     def test_other_families_match_torch(self, name):
         import torch
 

@@ -47,6 +47,21 @@ def _make_ref_model(name, num_classes=10, **kw):
     tv.transforms = tf
     # torch 1.6-era shim removed from modern torch
     _stub_module("torch._six", container_abcs=collections.abc, int_classes=int, string_classes=str)
+    # external inplace_abn package (used by tresnet): eval-mode python equivalent
+    import torch
+    import torch.nn.functional as F
+
+    def _iabn(x, weight, bias, running_mean, running_var, training=True,
+              momentum=0.1, eps=1e-5, activation="leaky_relu", activation_param=0.01):
+        y = F.batch_norm(x, running_mean, running_var, weight, bias, training, momentum, eps)
+        if activation == "leaky_relu":
+            y = F.leaky_relu(y, activation_param)
+        elif activation == "elu":
+            y = F.elu(y, activation_param)
+        return y
+
+    fns = _stub_module("inplace_abn.functions", inplace_abn=_iabn, inplace_abn_sync=_iabn)
+    _stub_module("inplace_abn", functions=fns)
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     from timm.models import create_model as ref_create  # noqa

@@ -54,8 +54,13 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lambda_value: float,
     donate: bool = True,
+    clip_grad: Optional[float] = None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted train step. ``model`` is the SlotModel module."""
+    """Build the jitted train step. ``model`` is the SlotModel module.
+
+    ``clip_grad`` reproduces the reference's (commented-out) clip_gradient
+    helper (engine.py:55-65): elementwise clamp of gradients to [-c, c].
+    """
 
     def train_step(state: TrainState, batch: Batch):
         def loss_fn(params):
@@ -69,6 +74,10 @@ def make_train_step(
             return losses["loss"], (losses, out, new_stats)
 
         grads, (losses, out, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if clip_grad is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.clip(g, -clip_grad, clip_grad), grads
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

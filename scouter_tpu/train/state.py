@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["TrainState", "create_train_state", "make_freeze_labels", "step_lr"]
+__all__ = ["TrainState", "create_train_state", "make_freeze_labels", "step_lr",
+           "sync_batch_stats"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -103,3 +104,27 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
     )
     return state, tx
+
+
+def sync_batch_stats(state: TrainState, mesh=None) -> TrainState:
+    """Cross-replica BN statistics averaging — timm ``distribute_bn``
+    (``timm/utils.py:214-231``) capability.
+
+    With replicated params under jit sharding, per-replica BN stats are already
+    identical (each device computed them from its own shard but the state is
+    replicated post-step); this helper exists for pmap-style setups and
+    multi-host EMA reduction: it averages the batch_stats pytree across
+    processes via a tiny all-reduce program.
+    """
+    import jax
+
+    if state.batch_stats is None or jax.process_count() == 1:
+        return state
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    synced = jax.tree_util.tree_map(
+        lambda x: multihost_utils.process_allgather(x).mean(axis=0),
+        state.batch_stats,
+    )
+    return state.replace(batch_stats=synced)

@@ -1,0 +1,126 @@
+"""Dataset list-builder parity vs the reference's classes on fabricated trees."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from scouter_tpu.data import (
+    load_image_list,
+    load_mnist,
+    scan_context,
+    scan_cub200,
+    scan_imagenet_subset,
+    synthetic_mnist,
+)
+
+REFERENCE = "/root/reference"
+
+
+def _ref_modules():
+    # stub the reference's import-time deps that this env lacks
+    for name in ("prefetch_generator",):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.BackgroundGenerator = iter
+            sys.modules[name] = mod
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from dataset.ConText import MakeList, MakeListImage  # noqa
+
+    return MakeList, MakeListImage
+
+
+def _write_img(path):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(path)
+
+
+class TestConTextSplit:
+    def test_split_matches_reference(self, tmp_path):
+        root = str(tmp_path / "context")
+        names = [f"cat{c}_{i:03d}.jpg" for c in ("aa", "bb", "cc") for i in range(7)]
+        for n in names:
+            _write_img(os.path.join(root, n))
+
+        MakeList, _ = _ref_modules()
+        ns = types.SimpleNamespace(dataset_dir=root)
+        ref_train, ref_val = MakeList(ns).get_data()
+        train, val = scan_context(root)
+        assert [tuple(x) for x in ref_train] == [tuple(x) for x in train]
+        assert [tuple(x) for x in ref_val] == [tuple(x) for x in val]
+
+
+class TestImageNetSubset:
+    def test_first_n_folders_rule(self, tmp_path):
+        root = str(tmp_path / "imagenet") + "/"
+        for wnid in ("n01", "n02", "n03"):
+            for phase in ("train", "val"):
+                _write_img(os.path.join(root, phase, wnid, f"{wnid}_1.JPEG"))
+
+        _, MakeListImage = _ref_modules()
+        ns = types.SimpleNamespace(dataset_dir=root, num_classes=2)
+        ref_train, ref_val = MakeListImage(ns).get_data()
+        train, val = scan_imagenet_subset(root, 2)
+        assert [tuple(x) for x in ref_train] == [tuple(x) for x in train]
+        assert [tuple(x) for x in ref_val] == [tuple(x) for x in val]
+        assert all(lbl in (0, 1) for _, lbl in train)
+
+
+class TestCub200:
+    def test_metadata_parse_and_class_filter(self, tmp_path):
+        root = str(tmp_path / "cub")
+        os.makedirs(root, exist_ok=True)
+        images = [
+            ("1", "001.Sp1/im1.jpg", "1", "1"),
+            ("2", "001.Sp1/im2.jpg", "1", "0"),
+            ("3", "002.Sp2/im3.jpg", "2", "1"),
+            ("4", "003.Sp3/im4.jpg", "3", "1"),  # filtered (class > 2)
+        ]
+        with open(os.path.join(root, "images.txt"), "w") as f:
+            f.writelines(f"{i} {n}\n" for i, n, _, _ in images)
+        with open(os.path.join(root, "image_class_labels.txt"), "w") as f:
+            f.writelines(f"{i} {c}\n" for i, _, c, _ in images)
+        with open(os.path.join(root, "train_test_split.txt"), "w") as f:
+            f.writelines(f"{i} {s}\n" for i, _, _, s in images)
+
+        train, test = scan_cub200(root, num_classes=2)
+        train_names = [os.path.basename(p) for p, _ in train]
+        test_names = [os.path.basename(p) for p, _ in test]
+        assert train_names == ["im1.jpg", "im3.jpg"]
+        assert test_names == ["im2.jpg"]
+        assert [l for _, l in train] == [0, 1]  # labels shifted -1 (CUB200.py:72)
+
+
+class TestLoading:
+    def test_load_image_list(self, tmp_path):
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"x_{i}.png")
+            _write_img(p)
+            paths.append((p, i))
+        images, labels = load_image_list(paths, staging_size=16)
+        assert images.shape == (3, 16, 16, 3) and images.dtype == np.uint8
+        np.testing.assert_array_equal(labels, [0, 1, 2])
+
+    def test_mnist_idx_roundtrip(self, tmp_path):
+        import gzip
+        import struct
+
+        (tr_x, tr_y), _ = synthetic_mnist(num_train=10, num_test=2)
+        d = tmp_path / "MNIST" / "raw"
+        os.makedirs(d)
+        with open(d / "train-images-idx3-ubyte", "wb") as f:
+            f.write(struct.pack(">IIII", 0x803, 10, 28, 28))
+            f.write(tr_x[..., 0].tobytes())
+        with gzip.open(str(d / "train-labels-idx1-ubyte") + ".gz", "wb") as f:
+            f.write(struct.pack(">II", 0x801, 10))
+            f.write(tr_y.astype(np.uint8).tobytes())
+
+        images, labels = load_mnist(str(tmp_path), train=True)
+        np.testing.assert_array_equal(images, tr_x)
+        np.testing.assert_array_equal(labels, tr_y)

@@ -82,3 +82,39 @@ def restore_checkpoint(path: str, state_template: Any) -> Tuple[Any, int, Dict]:
         payload = msgpack.unpackb(f.read(), raw=False)
     restored = fser.from_bytes(state_template, payload["state"])
     return restored, int(payload["epoch"]), payload["config"]
+
+
+# ---- Orbax backend -----------------------------------------------------------
+# For large-scale / multi-host deployments: sharded, async-capable checkpoints.
+# Same naming convention, directory per checkpoint instead of a single file.
+
+
+def orbax_save(output_dir: str, cfg: ScouterConfig, state: Any, epoch: int) -> str:
+    """Array state via Orbax (sharded/async-capable); epoch+config as JSON sidecar."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, checkpoint_name(cfg, epoch) + ".orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, {"state": state})
+    ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"epoch": epoch, "config": _config_dict(cfg)}, f)
+    return path
+
+
+def orbax_restore(path: str, state_template: Any) -> Tuple[Any, int, Dict]:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path), {"state": state_template})
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    return payload["state"], int(meta["epoch"]), meta["config"]

@@ -164,3 +164,18 @@ class TestDataParallel:
         m_mesh = t_mesh.run_epoch(0, "train")
         m_one = t_one.run_epoch(0, "train")
         assert m_mesh["loss"] == pytest.approx(m_one["loss"], rel=1e-4)
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from scouter_tpu.core.checkpoint import orbax_restore, orbax_save
+
+        cfg = small_cfg()
+        trainer = Trainer(cfg, datasets=make_datasets())
+        path = orbax_save(str(tmp_path), cfg, trainer.state, epoch=5)
+        trainer2 = Trainer(cfg, datasets=make_datasets())
+        restored, epoch, saved_cfg = orbax_restore(path, trainer2.state)
+        assert epoch == 5 and saved_cfg["dataset"] == "MNIST"
+        a = jax.device_get(trainer.state.params["slot"]["initial_slots"])
+        b = jax.device_get(restored.params["slot"]["initial_slots"])
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,57 @@
+"""Native staging library: correctness vs jax bilinear + gather parity + speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from scouter_tpu.data.native_stager import gather_items, native_available, resize_batch
+
+
+def test_native_builds():
+    assert native_available()
+
+
+def test_resize_matches_jax_bilinear():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(4, 37, 53, 3) * 255).astype(np.uint8)
+    out = resize_batch(imgs, (64, 96))
+    ref = np.asarray(jax.image.resize(
+        jnp.asarray(imgs, jnp.float32), (4, 64, 96, 3), method="bilinear",
+        antialias=False,
+    ))
+    diff = np.abs(out.astype(np.float32) - ref)
+    assert np.median(diff) <= 1.0  # uint8 rounding
+    assert diff.max() <= 2.0
+
+    # identity when size matches
+    same = resize_batch(imgs, (37, 53))
+    np.testing.assert_array_equal(same, imgs)
+
+
+def test_gather_matches_numpy():
+    rng = np.random.RandomState(1)
+    items = (rng.rand(100, 8, 8, 3) * 255).astype(np.uint8)
+    idx = rng.permutation(100)[:37]
+    np.testing.assert_array_equal(gather_items(items, idx), items[idx])
+
+
+def test_resize_faster_than_pil_loop():
+    from PIL import Image
+
+    rng = np.random.RandomState(2)
+    imgs = (rng.rand(64, 128, 128, 3) * 255).astype(np.uint8)
+
+    t0 = time.perf_counter()
+    resize_batch(imgs, (96, 96))
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for im in imgs:
+        Image.fromarray(im).resize((96, 96), Image.BILINEAR)
+    t_pil = time.perf_counter() - t0
+    # multithreaded native should not be slower (usually several x faster)
+    assert t_native < t_pil * 1.5, (t_native, t_pil)

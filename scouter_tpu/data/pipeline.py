@@ -89,11 +89,14 @@ class Loader:
         return idx
 
     def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        from .native_stager import gather_items
+
         idx = self._epoch_indices(epoch)
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i: i + self.batch_size]
             yield {
-                "image": self.ds.images[chunk],
+                # multithreaded native gather for uint8 stores (numpy otherwise)
+                "image": gather_items(self.ds.images, chunk),
                 "label": self.ds.labels[chunk],
             }
 

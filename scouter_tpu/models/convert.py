@@ -108,6 +108,8 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
         elif leaf_name == "weight":
             if arr.ndim == 4:  # conv OIHW -> HWIO
                 _set(params, mod_path + ("kernel",), arr.transpose(2, 3, 1, 0))
+            elif arr.ndim == 3:  # conv1d (out,in,k) -> (k,in,out)
+                _set(params, mod_path + ("kernel",), arr.transpose(2, 1, 0))
             elif arr.ndim == 2:  # linear (out,in) -> (in,out)
                 _set(params, mod_path + ("kernel",), arr.transpose(1, 0))
             elif arr.ndim == 1:  # batchnorm affine scale

@@ -29,6 +29,7 @@ __all__ = [
     "global_avg_pool",
     "SplitAttnConv",
     "SqueezeExcite",
+    "Eca",
     "drop_path",
     "torch_conv_padding",
 ]
@@ -120,20 +121,43 @@ def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class SqueezeExcite(nn.Module):
-    """SE block (timm/models/layers/se.py semantics): avgpool-fc-relu-fc-sigmoid."""
+    """SE block (timm/models/layers/se.py SEModule): avgpool-fc-relu-fc-sigmoid,
+    reduced channels max(c/reduction, 8)."""
 
     channels: int
     reduction: int = 16
+    min_channels: int = 8
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        reduced = self.channels // self.reduction
+        reduced = max(self.channels // self.reduction, self.min_channels)
         s = nn.Conv(reduced, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
         s = _act_relu(s)
         s = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(s)
         return x * jax.nn.sigmoid(s)
+
+
+class Eca(nn.Module):
+    """ECA attention (timm/models/layers/eca.py:41-73): GAP -> adaptive-kernel
+    1D conv over the channel descriptor -> sigmoid scale."""
+
+    channels: int
+    gamma: float = 2.0
+    beta: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import math as _math
+
+        t = int(abs(_math.log(self.channels, 2) + self.beta) / self.gamma)
+        k = max(t if t % 2 else t + 1, 3)
+        s = jnp.mean(x, axis=(1, 2))  # (B, C)
+        s = nn.Conv(1, (k,), padding=[( (k - 1) // 2, (k - 1) // 2 )], use_bias=False,
+                    dtype=self.dtype, name="conv")(s[..., None])  # (B, C, 1)
+        return x * jax.nn.sigmoid(s[..., 0])[:, None, None, :]
 
 
 class SplitAttnConv(nn.Module):

@@ -24,7 +24,9 @@ from flax import linen as nn
 from .act import relu as _act_relu
 from .act import residual_add as _residual_add
 from .layers import (
+    Eca,
     SplitAttnConv,
+    SqueezeExcite,
     avg_pool_ceil_exclude_pad,
     avg_pool_include_pad,
     batch_norm,
@@ -69,6 +71,15 @@ class _Downsample(nn.Module):
         return x
 
 
+def _apply_attn(attn: str, channels: int, dtype, out):
+    """timm create_attn capability: '' | 'se' | 'eca', module named 'se'."""
+    if attn == "se":
+        return SqueezeExcite(channels, dtype=dtype, name="se")(out)
+    if attn == "eca":
+        return Eca(channels, dtype=dtype, name="se")(out)
+    return out
+
+
 class _BasicBlock(nn.Module):
     """conv3x3(stride)-bn-relu-conv3x3-bn [+proj] -relu (resnet.py:142-199)."""
 
@@ -78,6 +89,7 @@ class _BasicBlock(nn.Module):
     first_dilation: int = 1
     has_downsample: bool = False
     avg_down: bool = False
+    attn: str = ""  # '' | 'se' | 'eca' (timm create_attn capability)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,6 +102,7 @@ class _BasicBlock(nn.Module):
         out = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
+        out = _apply_attn(self.attn, self.planes, self.dtype, out)
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
@@ -107,6 +120,7 @@ class _Bottleneck(nn.Module):
     base_width: int = 64
     has_downsample: bool = False
     avg_down: bool = False
+    attn: str = ""  # '' | 'se' | 'eca' (timm create_attn capability)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -124,6 +138,7 @@ class _Bottleneck(nn.Module):
         out = _act_relu(out)
         out = conv2d(outplanes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
+        out = _apply_attn(self.attn, outplanes, self.dtype, out)
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
@@ -439,6 +454,7 @@ class ResNet(nn.Module):
     radix: int = 2
     avd: bool = True
     avd_first: bool = False
+    attn: str = ""  # '' | 'se' | 'eca' for basic/bottleneck blocks
     scale: int = 4  # res2net
     sk_attn_reduction: int = 16  # sknet
     sk_min_attn_channels: int = 32
@@ -525,6 +541,8 @@ class ResNet(nn.Module):
                     avg_down=self.avg_down,
                     dtype=self.dtype,
                 )
+                if self.block in ("basic", "bottleneck"):
+                    kwargs.update(attn=self.attn)
                 if self.block in ("bottleneck", "resnest", "res2net", "sk_bottleneck"):
                     kwargs.update(cardinality=self.cardinality, base_width=self.base_width)
                 if self.block == "resnest":

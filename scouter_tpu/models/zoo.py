@@ -100,6 +100,39 @@ def wide_resnet101_2(num_classes=1000, in_chans=3, **kw):
                   num_classes=num_classes, in_chans=in_chans, **kw)
 
 
+@register_model
+def seresnext26d_32x4d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(2, 2, 2, 2), cardinality=32,
+                  base_width=4, stem_width=32, stem_type="deep", avg_down=True,
+                  attn="se", num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def ecaresnet18(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="basic", layers=(2, 2, 2, 2), attn="eca",
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def ecaresnet50(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), attn="eca",
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def ecaresnet50d(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), stem_width=32,
+                  stem_type="deep", avg_down=True, attn="eca",
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def ecaresnetlight(num_classes=1000, in_chans=3, **kw):
+    return ResNet(block="bottleneck", layers=(1, 1, 11, 3), stem_width=32,
+                  avg_down=True, attn="eca",
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
 # ------------------------------------------------- gluon resnet variants
 # (timm/models/gluon_resnet.py: the same universal ResNet with MXNet-style
 #  stem/downsample configs — v1b plain, v1c deep stem, v1d deep+avg_down,

@@ -137,7 +137,8 @@ class TestTorchParity:
 
     @pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100",
                                       "seresnet18", "seresnext26_32x4d",
-                                      "res2net50_26w_4s", "skresnet18"])
+                                      "res2net50_26w_4s", "skresnet18",
+                                      "seresnext26d_32x4d", "ecaresnet18"])
     def test_efficientnet_family_matches_torch(self, name):
         import torch
 

@@ -7,8 +7,8 @@ prefetch, ``tools/prepare_things.py:140-142``):
 - per-epoch shuffling keyed by (seed, epoch) — ``set_epoch`` parity
   (``train.py:176-177``)
 - train batches drop the remainder (BatchSampler drop_last, ``train.py:158``);
-  val keeps it (padded + masked is a later refinement; currently truncated to a
-  whole batch only when batch > remaining)
+  val keeps it — the trailing partial batch is padded to the static batch size
+  with a validity mask so shapes stay constant and divide the mesh
 - multi-host: each host reads a contiguous shard (parallel/mesh.py
   host_shard_bounds) — DistributedSampler equivalent
 - device transfer: uint8 batches go to device where preprocess_batch resizes/
@@ -94,10 +94,19 @@ class Loader:
         idx = self._epoch_indices(epoch)
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i: i + self.batch_size]
+            valid = len(chunk)
+            if valid < self.batch_size:
+                # pad the trailing eval batch to the full (static) batch size so
+                # the jitted step keeps one shape and the batch divides the mesh;
+                # metrics mask the padding out
+                chunk = np.concatenate([chunk, idx[:1].repeat(self.batch_size - valid)])
+            mask = np.zeros(self.batch_size, np.float32)
+            mask[:valid] = 1.0
             yield {
                 # multithreaded native gather for uint8 stores (numpy otherwise)
                 "image": gather_items(self.ds.images, chunk),
                 "label": self.ds.labels[chunk],
+                "mask": mask,
             }
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, jax.Array]]:
@@ -114,6 +123,7 @@ class Loader:
         def produce(host_batch, batch_key):
             images = put(host_batch["image"])
             labels = put(host_batch["label"])
+            mask = put(host_batch["mask"])
             images = preprocess_batch(
                 images,
                 dataset=self.ds.dataset_name,
@@ -122,7 +132,7 @@ class Loader:
                 aug=self.aug,
                 key=batch_key if (self.train and self.aug) else None,
             )
-            return {"image": images, "label": labels}
+            return {"image": images, "label": labels, "mask": mask}
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()

@@ -38,11 +38,16 @@ def _forward(model, variables, images, train: bool):
     return model.apply(variables, images, train=False), None
 
 
-def _metrics(out, losses, labels) -> Dict[str, jnp.ndarray]:
+def _metrics(out, losses, labels, mask=None) -> Dict[str, jnp.ndarray]:
     pred = jnp.argmax(out["logits"], axis=1)
+    correct = (pred == labels).astype(jnp.float32)
+    if mask is not None:
+        acc = jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        acc = jnp.mean(correct)
     m = {
         "loss": losses["loss"],
-        "acc": jnp.mean((pred == labels).astype(jnp.float32)),
+        "acc": acc,
         "log_loss": losses.get("log_loss", losses["loss"]),
         "att_loss": losses.get("att_loss", jnp.zeros(())),
     }
@@ -86,7 +91,7 @@ def make_train_step(
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        return new_state, _metrics(out, losses, batch["label"])
+        return new_state, _metrics(out, losses, batch["label"], batch.get("mask"))
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -99,7 +104,7 @@ def make_eval_step(
         _, losses = scouter_loss(
             out["logits"], batch["label"], out.get("area_loss"), lambda_value
         )
-        return _metrics(out, losses, batch["label"])
+        return _metrics(out, losses, batch["label"], batch.get("mask"))
 
     return jax.jit(eval_step)
 

@@ -48,16 +48,17 @@ def main():
         out = model.apply(variables, images.astype(jnp.bfloat16))
         return out["logits"]
 
-    # compile + warmup
-    forward(variables, x).block_until_ready()
+    # compile + warmup. Timing uses an actual host fetch of the final output:
+    # on remote-attached runtimes block_until_ready can return before device
+    # completion, but a data fetch cannot (in-order execution bounds the batch).
+    np.asarray(forward(variables, x))
     for _ in range(3):
-        forward(variables, x).block_until_ready()
+        np.asarray(forward(variables, x))
 
-    iters = 30
+    iters = 120
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x)
-    out.block_until_ready()
+    outs = [forward(variables, x) for _ in range(iters)]
+    np.asarray(outs[-1])
     dt = time.perf_counter() - t0
 
     img_s = cfg.batch_size * iters / dt

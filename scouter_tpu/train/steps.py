@@ -111,10 +111,6 @@ def make_eval_step(
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Overwrite the injected lr (StepLR-per-epoch, train.py:179 semantics)."""
-
-    def maybe_set(path, leaf):
-        return leaf
-
     # opt_state structure: MultiTransformState(inner_states={'trainable':
     # MaskedState(inner_state=InjectHyperparamsState(hyperparams={'learning_rate': ...}))})
     opt_state = state.opt_state

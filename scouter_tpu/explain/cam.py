@@ -13,9 +13,6 @@ All extractors take a single image (N=1, like the reference's precheck,
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..core.checkpoint import checkpoint_path, restore_checkpoint
 from ..core.config import config_from_args, get_args_parser
-from ..data import Loader, select_dataset
+from ..data import select_dataset
 from ..models import build_slot_model
 from ..train.state import create_train_state
 from .vis import (

@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import contextlib
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

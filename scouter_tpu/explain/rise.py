@@ -13,8 +13,6 @@ RNG state save/restore (rise.py:176-233) are replaced by an explicit PRNG key.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import batch_norm, conv2d, global_avg_pool
+from .pruned import WidthOverrides, scope_widths, width_of
 from .registry import register_model
 
 __all__ = ["EfficientNet", "MobileNetV3"]
@@ -93,14 +94,20 @@ class _SE(nn.Module):
         return x * self.gate(s)
 
 
-def _se_module(spec: BlockSpec, block_in: int, mid: int, dtype) -> Optional[_SE]:
+def _se_module(spec: BlockSpec, block_in: int, mid: int, dtype,
+               widths: WidthOverrides = None, mid_runtime: Optional[int] = None) -> Optional[_SE]:
+    """block_in/mid are the UNPRUNED construction-time widths (reduced-chs
+    formula parity); mid_runtime is the pruned channel count the gate must
+    match. Pruned tables override both 1x1 convs (helpers.py:159-176)."""
     if spec.se_ratio <= 0:
         return None
     base = mid if spec.se_from_mid else block_in
-    reduced = make_divisible(base * spec.se_ratio, spec.se_divisor)
+    reduced = width_of(widths, "se.conv_reduce",
+                       make_divisible(base * spec.se_ratio, spec.se_divisor))
+    expand = width_of(widths, "se.conv_expand", mid_runtime or mid)
     act = _ACTS[spec.se_act or spec.act]
     gate = hard_sigmoid if spec.se_gate == "hard_sigmoid" else jax.nn.sigmoid
-    return _SE(mid, reduced, act, gate, dtype=dtype, name="se")
+    return _SE(expand, reduced, act, gate, dtype=dtype, name="se")
 
 
 class _DsBlock(nn.Module):
@@ -108,21 +115,27 @@ class _DsBlock(nn.Module):
     in_chs: int
     out_chs: int
     stride: int
+    pad: Optional[str] = None  # None = torch symmetric; 'same' = TF SAME
+    bn_eps: float = 1e-5
+    widths: WidthOverrides = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _ACTS[self.spec.act]
+        dw = width_of(self.widths, "conv_dw", self.in_chs)
+        pw = width_of(self.widths, "conv_pw", self.out_chs)
         residual = x
-        x = conv2d(self.in_chs, self.spec.kernel, stride=self.stride,
-                   groups=self.in_chs, dtype=self.dtype, name="conv_dw")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+        x = conv2d(dw, self.spec.kernel, stride=self.stride, padding=self.pad,
+                   groups=dw, dtype=self.dtype, name="conv_dw")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn1")(x)
         x = act(x)
-        se = _se_module(self.spec, self.in_chs, self.in_chs, self.dtype)
+        se = _se_module(self.spec, self.in_chs, self.in_chs, self.dtype,
+                        self.widths, mid_runtime=dw)
         if se is not None:
             x = se(x)
-        x = conv2d(self.out_chs, 1, padding=0, dtype=self.dtype, name="conv_pw")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn2")(x)
+        x = conv2d(pw, 1, padding=0, dtype=self.dtype, name="conv_pw")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn2")(x)
         if self.stride == 1 and self.in_chs == self.out_chs:
             x = x + residual
         return x
@@ -133,25 +146,32 @@ class _IrBlock(nn.Module):
     in_chs: int
     out_chs: int
     stride: int
+    pad: Optional[str] = None
+    bn_eps: float = 1e-5
+    widths: WidthOverrides = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _ACTS[self.spec.act]
         mid = make_divisible(self.in_chs * self.spec.exp_ratio)
+        pw = width_of(self.widths, "conv_pw", mid)
+        dw = width_of(self.widths, "conv_dw", pw)
+        pwl = width_of(self.widths, "conv_pwl", self.out_chs)
         residual = x
-        x = conv2d(mid, 1, padding=0, dtype=self.dtype, name="conv_pw")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+        x = conv2d(pw, 1, padding=0, dtype=self.dtype, name="conv_pw")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn1")(x)
         x = act(x)
-        x = conv2d(mid, self.spec.kernel, stride=self.stride, groups=mid,
-                   dtype=self.dtype, name="conv_dw")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn2")(x)
+        x = conv2d(dw, self.spec.kernel, stride=self.stride, padding=self.pad,
+                   groups=dw, dtype=self.dtype, name="conv_dw")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn2")(x)
         x = act(x)
-        se = _se_module(self.spec, self.in_chs, mid, self.dtype)
+        se = _se_module(self.spec, self.in_chs, mid, self.dtype,
+                        self.widths, mid_runtime=dw)
         if se is not None:
             x = se(x)
-        x = conv2d(self.out_chs, 1, padding=0, dtype=self.dtype, name="conv_pwl")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn3")(x)
+        x = conv2d(pwl, 1, padding=0, dtype=self.dtype, name="conv_pwl")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn3")(x)
         if self.stride == 1 and self.in_chs == self.out_chs:
             x = x + residual
         return x
@@ -162,14 +182,18 @@ class _CnBlock(nn.Module):
     in_chs: int
     out_chs: int
     stride: int
+    pad: Optional[str] = None
+    bn_eps: float = 1e-5
+    widths: WidthOverrides = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _ACTS[self.spec.act]
-        x = conv2d(self.out_chs, self.spec.kernel, stride=self.stride,
-                   dtype=self.dtype, name="conv")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+        x = conv2d(width_of(self.widths, "conv", self.out_chs), self.spec.kernel,
+                   stride=self.stride, padding=self.pad, dtype=self.dtype,
+                   name="conv")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn1")(x)
         return act(x)
 
 
@@ -177,9 +201,14 @@ _BLOCK_CLS = {"ds": _DsBlock, "ir": _IrBlock, "cn": _CnBlock}
 
 
 def _apply_blocks(arch: Sequence[Sequence[BlockSpec]], x, in_chs: int,
-                  channel_multiplier: float, depth_multiplier: float, train: bool, dtype):
+                  channel_multiplier: float, depth_multiplier: float, train: bool, dtype,
+                  pad: Optional[str] = None, bn_eps: float = 1e-5,
+                  widths: WidthOverrides = None):
     """arch is a tuple of stages; a stage may hold several block defs (timm
-    arch_def grouping — block index runs across the whole stage)."""
+    arch_def grouping — block index runs across the whole stage). ``in_chs``
+    tracks UNPRUNED widths (construction-time semantics: residual-skip and
+    se-reduction decisions predate the pruning surgery, helpers.py:157-186);
+    actual runtime channels flow through the data."""
     for stage_idx, stage in enumerate(arch):
         block_idx = 0
         for spec in stage:
@@ -188,7 +217,9 @@ def _apply_blocks(arch: Sequence[Sequence[BlockSpec]], x, in_chs: int,
             for r in range(repeats):
                 stride = spec.stride if r == 0 else 1
                 cls = _BLOCK_CLS[spec.kind]
-                x = cls(spec, in_chs, out_chs, stride, dtype=dtype,
+                x = cls(spec, in_chs, out_chs, stride, pad=pad, bn_eps=bn_eps,
+                        widths=scope_widths(widths, f"blocks.{stage_idx}.{block_idx}"),
+                        dtype=dtype,
                         name=f"blocks_{stage_idx}_{block_idx}")(x, train)
                 in_chs = out_chs
                 block_idx += 1
@@ -215,19 +246,27 @@ class EfficientNet(nn.Module):
     in_chans: int = 3
     drop_rate: float = 0.0
     mnist_stem: bool = False
+    pad: Optional[str] = None  # 'same' for the pruned variants (TF heritage)
+    bn_eps: float = 1e-5
+    widths: WidthOverrides = None  # pruned surgery table (models/pruned.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
-        stem = round_channels(32, self.channel_multiplier)
-        x = conv2d(stem, 3, stride=2, dtype=self.dtype, name="conv_stem")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+        stem = width_of(self.widths, "conv_stem", round_channels(32, self.channel_multiplier))
+        x = conv2d(stem, 3, stride=2, padding=self.pad, dtype=self.dtype,
+                   name="conv_stem")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn1")(x)
         x = swish(x)
-        x, chs = _apply_blocks(_EFFNET_ARCH, x, stem, self.channel_multiplier,
-                               self.depth_multiplier, train, self.dtype)
-        head = round_channels(1280, self.channel_multiplier)
+        x, chs = _apply_blocks(_EFFNET_ARCH, x,
+                               round_channels(32, self.channel_multiplier),
+                               self.channel_multiplier, self.depth_multiplier,
+                               train, self.dtype, pad=self.pad, bn_eps=self.bn_eps,
+                               widths=self.widths)
+        head = width_of(self.widths, "conv_head",
+                        round_channels(1280, self.channel_multiplier))
         x = conv2d(head, 1, padding=0, dtype=self.dtype, name="conv_head")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn2")(x)
+        x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn2")(x)
         x = swish(x)
         if features_only:
             # head-neutralized feature map (reference strips global_pool +
@@ -320,6 +359,30 @@ def efficientnet_b4(num_classes=1000, in_chans=3, **kw):
 @register_model
 def efficientnet_b5(num_classes=1000, in_chans=3, **kw):
     return _effnet(1.6, 2.2, num_classes, in_chans, **kw)
+
+
+def _effnet_pruned(variant, cm, dm, num_classes, in_chans, **kw):
+    """Pruned EfficientNets (timm efficientnet.py:1255-1283): TF-SAME padding,
+    TF bn eps 1e-3, widths from the pruned surgery table."""
+    from .pruned import load_pruned_widths
+
+    return _effnet(cm, dm, num_classes, in_chans, pad="same", bn_eps=1e-3,
+                   widths=load_pruned_widths(variant), **kw)
+
+
+@register_model
+def efficientnet_b1_pruned(num_classes=1000, in_chans=3, **kw):
+    return _effnet_pruned("efficientnet_b1_pruned", 1.0, 1.1, num_classes, in_chans, **kw)
+
+
+@register_model
+def efficientnet_b2_pruned(num_classes=1000, in_chans=3, **kw):
+    return _effnet_pruned("efficientnet_b2_pruned", 1.1, 1.2, num_classes, in_chans, **kw)
+
+
+@register_model
+def efficientnet_b3_pruned(num_classes=1000, in_chans=3, **kw):
+    return _effnet_pruned("efficientnet_b3_pruned", 1.2, 1.4, num_classes, in_chans, **kw)
 
 
 @register_model

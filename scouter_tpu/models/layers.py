@@ -45,20 +45,26 @@ def conv2d(
     kernel_size: int,
     *,
     stride: int = 1,
-    padding: Optional[int] = None,
+    padding=None,
     dilation: int = 1,
     groups: int = 1,
     use_bias: bool = False,
     dtype=None,
     name: str,
 ) -> nn.Conv:
-    """nn.Conv configured with torch-style symmetric integer padding (NHWC/HWIO)."""
-    pad = torch_conv_padding(kernel_size, stride, dilation) if padding is None else padding
+    """nn.Conv with torch-style symmetric integer padding (NHWC/HWIO), or TF
+    asymmetric SAME when ``padding='same'`` (timm Conv2dSame / pad_type='same',
+    ``timm/models/layers/conv2d_same.py`` — XLA's SAME is exactly TF's)."""
+    if padding == "same":
+        pad = "SAME"
+    else:
+        p = torch_conv_padding(kernel_size, stride, dilation) if padding is None else padding
+        pad = [(p, p), (p, p)]
     return nn.Conv(
         features=features,
         kernel_size=(kernel_size, kernel_size),
         strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
+        padding=pad,
         kernel_dilation=(dilation, dilation),
         feature_group_count=groups,
         use_bias=use_bias,
@@ -68,14 +74,15 @@ def conv2d(
     )
 
 
-def batch_norm(train: bool, *, dtype=None, name: str) -> nn.BatchNorm:
-    """BatchNorm with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5).
+def batch_norm(train: bool, *, eps: float = 1e-5, dtype=None, name: str) -> nn.BatchNorm:
+    """BatchNorm with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5; the
+    pruned efficientnets use the TF default eps 1e-3, efficientnet.py:1256-1258).
 
     Per-replica statistics only (no cross-device axis_name) — matching the
     reference's DDP behavior where BN is never synced (SURVEY.md §7 hard part 5).
     """
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name
+        use_running_average=not train, momentum=0.9, epsilon=eps, dtype=dtype, name=name
     )
 
 

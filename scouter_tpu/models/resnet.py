@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from .act import relu as _act_relu
 from .act import residual_add as _residual_add
+from .pruned import WidthOverrides, scope_widths, width_of
 from .layers import (
     Eca,
     SplitAttnConv,
@@ -121,26 +122,33 @@ class _Bottleneck(nn.Module):
     has_downsample: bool = False
     avg_down: bool = False
     attn: str = ""  # '' | 'se' | 'eca' (timm create_attn capability)
+    widths: WidthOverrides = None  # pruned per-conv out-channels (models/pruned.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.cardinality
         outplanes = self.planes * 4
+        c1 = width_of(self.widths, "conv1", width)
+        c2 = width_of(self.widths, "conv2", width)
+        c3 = width_of(self.widths, "conv3", outplanes)
         residual = x
-        out = conv2d(width, 1, padding=0, dtype=self.dtype, name="conv1")(x)
+        out = conv2d(c1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
         out = _act_relu(out)
-        out = conv2d(width, 3, stride=self.stride, padding=self.first_dilation,
+        out = conv2d(c2, 3, stride=self.stride, padding=self.first_dilation,
                      dilation=self.first_dilation, groups=self.cardinality,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
         out = _act_relu(out)
-        out = conv2d(outplanes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
+        out = conv2d(c3, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
+        # attn modules keep the UNPRUNED channel count: the reference surgery
+        # only rewrites nn.Conv2d, so eca's Conv1d kernel size stays derived
+        # from `outplanes` (helpers.py:159-176)
         out = _apply_attn(self.attn, outplanes, self.dtype, out)
         if self.has_downsample:
-            residual = _Downsample(outplanes, self.stride, self.avg_down,
+            residual = _Downsample(c3, self.stride, self.avg_down,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -461,6 +469,9 @@ class ResNet(nn.Module):
     sk_split_input: bool = False
     drop_rate: float = 0.0
     mnist_stem: bool = False
+    # pruned-channel surgery table (timm adapt_model_from_file capability,
+    # helpers.py:146-196): torch-style conv prefix -> out_channels
+    widths: WidthOverrides = None
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -504,13 +515,16 @@ class ResNet(nn.Module):
                 )
             else:
                 stem_chs_1 = stem_chs_2 = self.stem_width
-            x = conv2d(stem_chs_1, 3, stride=2, padding=1, dtype=self.dtype, name="conv1_0")(x)
+            x = conv2d(width_of(self.widths, "conv1.0", stem_chs_1), 3, stride=2,
+                       padding=1, dtype=self.dtype, name="conv1_0")(x)
             x = batch_norm(train, dtype=self.dtype, name="conv1_1")(x)
             x = _act_relu(x)
-            x = conv2d(stem_chs_2, 3, padding=1, dtype=self.dtype, name="conv1_3")(x)
+            x = conv2d(width_of(self.widths, "conv1.3", stem_chs_2), 3, padding=1,
+                       dtype=self.dtype, name="conv1_3")(x)
             x = batch_norm(train, dtype=self.dtype, name="conv1_4")(x)
             x = _act_relu(x)
-            x = conv2d(inplanes, 3, padding=1, dtype=self.dtype, name="conv1_6")(x)
+            x = conv2d(width_of(self.widths, "conv1.6", inplanes), 3, padding=1,
+                       dtype=self.dtype, name="conv1_6")(x)
         else:
             x = conv2d(inplanes, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
         if start_from is None:
@@ -543,6 +557,9 @@ class ResNet(nn.Module):
                 )
                 if self.block in ("basic", "bottleneck"):
                     kwargs.update(attn=self.attn)
+                if self.block == "bottleneck" and self.widths:
+                    kwargs.update(widths=scope_widths(
+                        self.widths, f"layer{stage_idx}.{block_idx}"))
                 if self.block in ("bottleneck", "resnest", "res2net", "sk_bottleneck"):
                     kwargs.update(cardinality=self.cardinality, base_width=self.base_width)
                 if self.block == "resnest":

@@ -127,6 +127,29 @@ def ecaresnet50d(num_classes=1000, in_chans=3, **kw):
 
 
 @register_model
+def ecaresnet50d_pruned(num_classes=1000, in_chans=3, **kw):
+    """ResNet-50-D + eca with pruned channel widths (timm resnet.py:1080-1096,
+    surgery table from timm/models/pruned/ecaresnet50d_pruned.txt)."""
+    from .pruned import load_pruned_widths
+
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), stem_width=32,
+                  stem_type="deep", avg_down=True, attn="eca",
+                  widths=load_pruned_widths("ecaresnet50d_pruned"),
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def ecaresnet101d_pruned(num_classes=1000, in_chans=3, **kw):
+    """ResNet-101-D + eca with pruned channel widths (timm resnet.py:1126-1142)."""
+    from .pruned import load_pruned_widths
+
+    return ResNet(block="bottleneck", layers=(3, 4, 23, 3), stem_width=32,
+                  stem_type="deep", avg_down=True, attn="eca",
+                  widths=load_pruned_widths("ecaresnet101d_pruned"),
+                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
 def ecaresnetlight(num_classes=1000, in_chans=3, **kw):
     return ResNet(block="bottleneck", layers=(1, 1, 11, 3), stem_width=32,
                   avg_down=True, attn="eca",

@@ -205,3 +205,29 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(feats), ref_feats.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3
         )
+
+class TestPrunedModels:
+    """timm adapt_model_from_file capability (helpers.py:146-196): pruned
+    variants rebuilt from the conv out-channel tables in models/pruned_data."""
+
+    @pytest.mark.parametrize("name", ["ecaresnet50d_pruned", "efficientnet_b1_pruned"])
+    def test_pruned_forward_matches_torch(self, name):
+        import torch
+
+        torch.manual_seed(7)
+        ref = _make_ref_model(name, num_classes=6)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model(name, num_classes=6)
+        x = np.random.RandomState(7).randn(1, 96, 96, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(model.apply(variables, jnp.asarray(x)))
+        rel = np.abs(out - ref_out) / (np.abs(ref_out) + 1e-3)
+        assert rel.max() < 1e-3, rel.max()
+
+    def test_pruned_param_shapes(self):
+        model = create_model("ecaresnet101d_pruned", num_classes=3)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        # widths from the public pruning table; fc in-features follows
+        assert v["params"]["fc"]["kernel"].shape[0] != 2048

@@ -1,7 +1,12 @@
 """Backbone zoo + SCOUTER SlotModel (Flax, NHWC)."""
 
 from . import densenet, dla, dpn, hrnet, efficientnet, gluon_xception, inception_resnet_v2, inception_v3, inception_v4, nasnet, pnasnet, regnet, selecsls, senet, tresnet, vovnet, xception, zoo  # noqa: F401  (registers the entrypoints)
-from .convert import strip_prefix, torch_state_dict_to_variables
+from .convert import (
+    merge_variables,
+    prepare_pretrained_state_dict,
+    strip_prefix,
+    torch_state_dict_to_variables,
+)
 from .registry import create_model, is_model, list_models, model_entrypoint, register_model
 from .resnet import ResNet
 from .slot_model import SlotModel, XSlot

@@ -17,7 +17,12 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["torch_state_dict_to_variables", "strip_prefix"]
+__all__ = [
+    "torch_state_dict_to_variables",
+    "strip_prefix",
+    "prepare_pretrained_state_dict",
+    "merge_variables",
+]
 
 # xSlot leaves that keep the torch layout verbatim (slot_model.py XSlot.param names)
 _GRU_RENAME = {
@@ -31,6 +36,53 @@ _GRU_RENAME = {
 def strip_prefix(state_dict: Mapping[str, Any], prefix: str = "backbone.") -> Dict[str, Any]:
     """Remove a module prefix — the ``k[9:]`` handoff (slot_model.py:27-33)."""
     return {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+
+def prepare_pretrained_state_dict(
+    state_dict: Mapping[str, Any],
+    *,
+    in_chans: int = 3,
+    num_classes: int | None = None,
+    pretrained_classes: int = 1000,
+    first_conv: str = "conv1",
+    classifier: str = "fc",
+) -> Dict[str, Any]:
+    """timm ``load_pretrained`` weight adjustments (``timm/models/helpers.py:68-101``):
+
+    - ``in_chans == 1``: collapse the first conv's RGB kernel by summing the
+      input-channel dim (:75-80).
+    - pretrained head has an extra background class (1001 -> 1000): drop row 0
+      of the classifier weight/bias (:85-91).
+    - any other class-count mismatch: discard the classifier entirely (:92-96)
+      so the freshly initialized head is kept.
+    """
+    sd = dict(state_dict)
+    if in_chans == 1:
+        w = _to_np(sd[first_conv + ".weight"])
+        sd[first_conv + ".weight"] = w.sum(axis=1, keepdims=True)
+    elif in_chans != 3:
+        raise ValueError("pretrained weights support in_chans of 1 or 3 only")
+    if num_classes is not None and num_classes != pretrained_classes:
+        if num_classes == 1000 and pretrained_classes == 1001:
+            sd[classifier + ".weight"] = _to_np(sd[classifier + ".weight"])[1:]
+            sd[classifier + ".bias"] = _to_np(sd[classifier + ".bias"])[1:]
+        else:
+            sd.pop(classifier + ".weight", None)
+            sd.pop(classifier + ".bias", None)
+    return sd
+
+
+def merge_variables(init: Mapping[str, Any], loaded: Mapping[str, Any]) -> Dict[str, Any]:
+    """Overlay converted weights onto freshly initialized variables — the
+    ``strict=False`` load (helpers.py:96-101): subtrees absent from ``loaded``
+    (e.g. a discarded classifier) keep their initialization."""
+    out: Dict[str, Any] = {}
+    for k, v in init.items():
+        if k in loaded and isinstance(v, Mapping) and isinstance(loaded[k], Mapping):
+            out[k] = merge_variables(v, loaded[k])
+        else:
+            out[k] = loaded.get(k, v)
+    return out
 
 
 def _to_np(v) -> np.ndarray:

@@ -231,3 +231,52 @@ class TestPrunedModels:
         v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         # widths from the public pruning table; fc in-features follows
         assert v["params"]["fc"]["kernel"].shape[0] != 2048
+
+class TestPretrainedAdjustments:
+    """timm load_pretrained weight adjustments (helpers.py:68-101)."""
+
+    def test_one_channel_collapse_and_classifier_discard(self):
+        import torch
+
+        torch.manual_seed(9)
+        ref = _make_ref_model("resnet18", num_classes=1000)
+        ref.eval()
+        from scouter_tpu.models import merge_variables, prepare_pretrained_state_dict
+
+        sd = prepare_pretrained_state_dict(
+            ref.state_dict(), in_chans=1, num_classes=7,
+            pretrained_classes=1000, first_conv="conv1", classifier="fc")
+        assert "fc.weight" not in sd
+        loaded = torch_state_dict_to_variables(sd)
+
+        model = create_model("resnet18", num_classes=7, in_chans=1)
+        x = np.random.RandomState(9).randn(1, 64, 64, 1).astype(np.float32)
+        init = model.init(jax.random.PRNGKey(3), jnp.asarray(x))
+        variables = merge_variables(init, loaded)
+        # fc kept from init (shape 7), conv1 collapsed to 1 channel
+        assert variables["params"]["fc"]["kernel"].shape == (512, 7)
+        assert variables["params"]["conv1"]["kernel"].shape[2] == 1
+
+        # parity vs torch: same collapse, same head re-init copied over
+        ref.conv1 = torch.nn.Conv2d(1, 64, 7, 2, 3, bias=False)
+        missing = ref.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False)
+        ref.fc = torch.nn.Linear(512, 7)
+        with torch.no_grad():
+            ref.fc.weight.copy_(torch.from_numpy(
+                np.array(variables["params"]["fc"]["kernel"]).T))
+            ref.fc.bias.copy_(torch.from_numpy(
+                np.array(variables["params"]["fc"]["bias"])))
+            ref.eval()
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(model.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
+
+    def test_background_class_strip(self):
+        from scouter_tpu.models import prepare_pretrained_state_dict
+
+        sd = {"fc.weight": np.ones((1001, 8)), "fc.bias": np.arange(1001.0)}
+        out = prepare_pretrained_state_dict(
+            sd, num_classes=1000, pretrained_classes=1001, classifier="fc")
+        assert out["fc.weight"].shape == (1000, 8)
+        assert out["fc.bias"][0] == 1.0

@@ -110,3 +110,34 @@ class TestPointingGame:
         s = np.zeros((4, 6))
         s[2, 5] = 1.0
         assert saliency_point(s) == (5, 2)
+
+class TestPointingGameBenchmark:
+    """Difficult-subset gating (torchray pointing_game.py:129-221)."""
+
+    def test_flag_table_and_skips(self, tmp_path):
+        from scouter_tpu.explain.pointing_game import (
+            PointingGameBenchmark,
+            load_difficult_flags,
+        )
+
+        p = tmp_path / "difficult.txt"
+        p.write_text("img_a\t0\t1\nimg_b\t1\t0\n")
+        flags = load_difficult_flags(str(p))
+        assert flags["img_a"] == [False, True]
+
+        bench = PointingGameBenchmark(num_classes=2, tolerance=2,
+                                      difficult_flags=flags)
+        mask = np.zeros((16, 16), np.uint8)
+        mask[8, 8] = 1
+        # easy pair -> skipped
+        assert bench.evaluate_item("img_a", 0, mask, (8, 8)) == 0
+        # difficult pair -> evaluated, hit
+        assert bench.evaluate_item("img_a", 1, mask, (8, 8)) == 1
+        # image absent from table -> evaluated (reference :188-197)
+        assert bench.evaluate_item("img_c", 0, mask, (0, 0)) == -1
+        # all-GT-difficult rule -> skipped (reference :204-211)
+        assert bench.evaluate_item("img_b", 0, mask, (8, 8), all_gt_difficult=True) == 0
+        assert bench.evaluate_item("img_b", 0, None, (8, 8)) == 0
+        bench.aggregate(1, 1)
+        bench.aggregate(-1, 0)
+        assert bench.class_accuracies.tolist() == [0.0, 1.0]

@@ -134,6 +134,65 @@ class Trainer:
         self.load_variables(variables)
         print("load pre dataset parameter over")
 
+    # timm default_cfg (first_conv, classifier) names for the local
+    # pretrained-weight path, per family (timm */default_cfgs)
+    _PRETRAINED_LAYOUT = {
+        "efficientnet": ("conv_stem", "classifier"),
+        "mobilenet": ("conv_stem", "classifier"),
+        "densenet": ("features.conv0", "classifier"),
+    }
+
+    def maybe_load_pretrained(self) -> None:
+        """``pretrained=True`` capability (timm helpers.py:68-101 +
+        factory.py): the reference downloads a torch checkpoint and loads it
+        with in_chans/classifier adjustments. Zero-egress equivalent: read a
+        local torch state_dict from ``$SCOUTER_TPU_PRETRAINED_DIR/{model}.pth``
+        (default ``pretrained/``), convert, and graft into the backbone. A
+        missing file keeps random init (same as the reference's warning path,
+        helpers.py:70-73). For MNIST the stem conv is replaced by the 1-channel
+        surgery conv (slot_model.py:23-24), so the stem weights are dropped."""
+        import os
+
+        if not self.cfg.pre_trained:
+            return
+        d = os.environ.get("SCOUTER_TPU_PRETRAINED_DIR", "pretrained")
+        path = os.path.join(d, f"{self.cfg.model}.pth")
+        if not os.path.isfile(path):
+            return
+        import torch
+
+        from ..models import (
+            merge_variables,
+            prepare_pretrained_state_dict,
+            torch_state_dict_to_variables,
+        )
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        first_conv, classifier = ("conv1", "fc")
+        for key, layout in self._PRETRAINED_LAYOUT.items():
+            if key in self.cfg.model:
+                first_conv, classifier = layout
+        sd = prepare_pretrained_state_dict(
+            sd, num_classes=self.cfg.num_classes, classifier=classifier)
+        if self.cfg.dataset == "MNIST":
+            sd = {k: v for k, v in sd.items() if not k.startswith(first_conv + ".")}
+        loaded = torch_state_dict_to_variables(sd)
+        variables = {"params": {
+            **self.state.params,
+            "backbone": merge_variables(self.state.params["backbone"],
+                                        loaded.get("params", {})),
+        }}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = {
+                **self.state.batch_stats,
+                "backbone": merge_variables(self.state.batch_stats["backbone"],
+                                            loaded.get("batch_stats", {})),
+            }
+        self.load_variables(variables)
+        print(f"loaded pretrained backbone from {path}")
+
     def maybe_resume(self) -> None:
         path = checkpoint_path(self.cfg.output_dir, self.cfg)
         if self.cfg.resume:
@@ -162,6 +221,7 @@ class Trainer:
 
     def fit(self) -> List[float]:
         cfg = self.cfg
+        self.maybe_load_pretrained()
         self.maybe_use_pre()
         self.maybe_resume()
         start = time.time()

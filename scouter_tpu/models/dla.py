@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
+from .act import residual_add as _residual_add
 from .layers import avg_pool_include_pad, batch_norm, conv2d
 from .registry import register_model
 
@@ -41,7 +42,7 @@ class _DlaBasic(nn.Module):
         out = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
-        return relu(out + residual)
+        return relu(_residual_add(out, residual))
 
 
 class _DlaBottleneck(nn.Module):
@@ -66,7 +67,7 @@ class _DlaBottleneck(nn.Module):
         out = relu(batch_norm(train, dtype=self.dtype, name="bn2")(out))
         out = conv2d(self.planes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
-        return relu(out + residual)
+        return relu(_residual_add(out, residual))
 
 
 class _DlaBottle2neck(nn.Module):
@@ -105,7 +106,7 @@ class _DlaBottle2neck(nn.Module):
         out = jnp.concatenate(outs, axis=-1)
         out = conv2d(self.planes, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
-        return relu(out + residual)
+        return relu(_residual_add(out, residual))
 
 
 _DLA_BLOCKS = {"basic": _DlaBasic, "bottleneck": _DlaBottleneck,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .act import residual_add as _residual_add
 from .layers import batch_norm, conv2d, global_avg_pool
 from .pruned import WidthOverrides, scope_widths, width_of
 from .registry import register_model
@@ -137,7 +138,7 @@ class _DsBlock(nn.Module):
         x = conv2d(pw, 1, padding=0, dtype=self.dtype, name="conv_pw")(x)
         x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn2")(x)
         if self.stride == 1 and self.in_chs == self.out_chs:
-            x = x + residual
+            x = _residual_add(x, residual)
         return x
 
 
@@ -173,7 +174,7 @@ class _IrBlock(nn.Module):
         x = conv2d(pwl, 1, padding=0, dtype=self.dtype, name="conv_pwl")(x)
         x = batch_norm(train, eps=self.bn_eps, dtype=self.dtype, name="bn3")(x)
         if self.stride == 1 and self.in_chs == self.out_chs:
-            x = x + residual
+            x = _residual_add(x, residual)
         return x
 
 

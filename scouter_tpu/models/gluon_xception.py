@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
+from .act import residual_add as _residual_add
 from .layers import batch_norm, conv2d, global_avg_pool
 from .registry import register_model
 
@@ -131,7 +132,7 @@ class _Block(nn.Module):
         out = _Rep(self.inplanes, self.planes, self.num_reps, self.stride,
                    self.dilation, self.start_with_relu, self.grow_first,
                    self.is_last, dtype=self.dtype, name="rep")(x, train)
-        return out + skip
+        return _residual_add(out, skip)
 
 
 class Xception65(nn.Module):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
+from .act import residual_add as _residual_add
 from .layers import batch_norm, conv2d, global_avg_pool
 from .registry import register_model
 
@@ -113,7 +114,7 @@ class _SEBlock(nn.Module):
         if self.has_downsample:
             residual = _SEDownsample(out_chs, self.stride, self.down_kernel,
                                      self.down_padding, dtype=d, name="downsample")(x, train)
-        return relu(out + residual)
+        return relu(_residual_add(out, residual))
 
 
 class _SEDownsample(nn.Module):

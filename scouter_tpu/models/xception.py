@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
+from .act import residual_add as _residual_add
 from .layers import batch_norm, conv2d, global_avg_pool, max_pool_3x3_s2_p1
 from .registry import register_model
 
@@ -83,7 +84,7 @@ class _Block(nn.Module):
             skip = batch_norm(train, dtype=self.dtype, name="skipbn")(skip)
         else:
             skip = inp
-        return x + skip
+        return _residual_add(x, skip)
 
 
 class Xception(nn.Module):

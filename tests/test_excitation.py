@@ -81,3 +81,34 @@ class TestEndToEnd:
         with ebp_rules():
             assert lax.conv_general_dilated is not plain
         assert lax.conv_general_dilated is plain
+
+
+class TestResidualHookCoverage:
+    """The EBP eltwise-sum rule (excitation_backprop.py:459-502) requires skip
+    connections to route through models/act.residual_add. Verify the hook is
+    engaged across families, not just ResNet."""
+
+    @pytest.mark.parametrize("name,size", [
+        ("efficientnet_b0", 64), ("dla34", 64), ("seresnet18", 64),
+        ("xception", 96), ("gluon_xception65", 96),
+    ])
+    def test_families_route_skips_through_hook(self, name, size):
+        import jax
+        import jax.numpy as jnp
+
+        from scouter_tpu.models import create_model
+        from scouter_tpu.models.act import override_residual_add
+
+        model = create_model(name, num_classes=3)
+        x = jnp.zeros((1, size, size, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        calls = []
+
+        def recording_add(a, b):
+            calls.append(a.shape)
+            return a + b
+
+        with override_residual_add(recording_add):
+            model.apply(variables, x)
+        assert len(calls) > 0, f"{name} skips bypass the residual_add hook"

@@ -116,9 +116,11 @@ def avg_pool_ceil_exclude_pad(x: jnp.ndarray, window: int = 2, stride: int = 2) 
     dims = (1, window, window, 1)
     strides = (1, stride, stride, 1)
     padding = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
-    summed = jax.lax.reduce_window(x, jnp.array(0.0, x.dtype), jax.lax.add, dims, strides, padding)
+    # init must be a Python scalar so lax recognizes the summing monoid and
+    # keeps the op reverse-mode differentiable (generic reduce_window is not)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding)
     ones = jnp.ones((1, h, w, 1), x.dtype)
-    counts = jax.lax.reduce_window(ones, jnp.array(0.0, x.dtype), jax.lax.add, dims, strides, padding)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, padding)
     return summed / counts
 
 

@@ -280,3 +280,28 @@ class TestPretrainedAdjustments:
             sd, num_classes=1000, pretrained_classes=1001, classifier="fc")
         assert out["fc.weight"].shape == (1000, 8)
         assert out["fc.bias"][0] == 1.0
+
+class TestPoolGradients:
+    """Regression: avg_pool_ceil_exclude_pad must be reverse-differentiable
+    (ResNeSt/ResNet-D downsample path during training)."""
+
+    def test_ceil_pool_grad(self):
+        from scouter_tpu.models.layers import avg_pool_ceil_exclude_pad
+
+        x = jnp.arange(2 * 7 * 7 * 3, dtype=jnp.float32).reshape(2, 7, 7, 3)
+        g = jax.grad(lambda v: (avg_pool_ceil_exclude_pad(v, 2, 2) ** 2).sum())(x)
+        assert g.shape == x.shape
+        assert bool(jnp.isfinite(g).all())
+
+    def test_resnest_backward(self):
+        model = create_model("resnest26d", num_classes=4)
+        x = jnp.ones((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(params):
+            out = model.apply({**variables, "params": params}, x)
+            return (out ** 2).sum()
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.isfinite(g).all()) for g in leaves)

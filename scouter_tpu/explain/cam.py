@@ -129,16 +129,21 @@ def smooth_gradcampp(model, variables, x, class_idx: int, key,
     return _combine(init_feats, weights, relu=True, normalized=normalized)
 
 
-def _channel_masks(feats: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def _normalize_channels(feats: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel spatial min-max of (1, h, w, K) activations (NaN where a
+    channel is constant — the 0/0 the reference also produces)."""
+    lo = feats.min(axis=(1, 2), keepdims=True)
+    hi = feats.max(axis=(1, 2), keepdims=True)
+    return (feats - lo) / (hi - lo)
+
+
+def _channel_masks(norm_feats: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Per-channel normalized activation upsampled to input size (cam.py:221-231).
 
-    Returns (K, H, W, 1) masks for the (1, H, W, C) input.
+    Takes the `_normalize_channels` output; returns (K, H, W, 1) masks for the
+    (1, H, W, C) input.
     """
-    a = feats[0]  # (h, w, K)
-    a = jnp.moveaxis(a, -1, 0)[..., None]  # (K, h, w, 1)
-    lo = a.min(axis=(1, 2), keepdims=True)
-    hi = a.max(axis=(1, 2), keepdims=True)
-    a = (a - lo) / (hi - lo)
+    a = jnp.moveaxis(norm_feats[0], -1, 0)[..., None]  # (K, h, w, 1)
     k, h, w, _ = a.shape
     H, W = x.shape[1:3]
     return jax.image.resize(a, (k, H, W, 1), method="bilinear")
@@ -157,20 +162,25 @@ def _masked_scores(forward, masked: jnp.ndarray, class_idx: int, batch_size: int
 
 def scorecam(model, variables, x, class_idx: int, batch_size: int = 32,
              normalized: bool = True):
-    """Score-CAM (cam.py:166-258): masked-input softmax re-scoring."""
+    """Score-CAM (cam.py:166-258): masked-input softmax re-scoring.
+
+    Reference quirk preserved: ``_normalize(self.hook_a)`` mutates the hooked
+    activation in place (cam.py:231), so the final weighted combination uses
+    the per-channel NORMALIZED maps, not the raw activations."""
     features, _, forward = backbone_split(model, variables)
-    feats = features(x)
-    masks = _channel_masks(feats, x)  # (K, H, W, 1)
+    norm_feats = _normalize_channels(features(x))
+    masks = _channel_masks(norm_feats, x)  # (K, H, W, 1)
     weights = _masked_scores(forward, masks * x[0], class_idx, batch_size)
-    return _combine(feats, weights, relu=True, normalized=normalized)
+    return _combine(norm_feats, weights, relu=True, normalized=normalized)
 
 
 def sscam(model, variables, x, class_idx: int, key, batch_size: int = 32,
           num_samples: int = 35, std: float = 2.0, normalized: bool = True):
-    """SS-CAM (cam.py:260-358): noise added to the mask before multiplying."""
+    """SS-CAM (cam.py:260-358): noise added to the mask before multiplying.
+    Same in-place-normalization quirk as scorecam (cam.py:330-333)."""
     features, _, forward = backbone_split(model, variables)
-    feats = features(x)
-    masks = _channel_masks(feats, x)
+    norm_feats = _normalize_channels(features(x))
+    masks = _channel_masks(norm_feats, x)
 
     def one(k):
         noise = std * jax.random.normal(k, x[0].shape)
@@ -178,7 +188,7 @@ def sscam(model, variables, x, class_idx: int, key, batch_size: int = 32,
 
     keys = jax.random.split(key, num_samples)
     weights = jax.lax.map(one, keys).mean(axis=0)
-    return _combine(feats, weights, relu=True, normalized=normalized)
+    return _combine(norm_feats, weights, relu=True, normalized=normalized)
 
 
 def isscam(model, variables, x, class_idx: int, batch_size: int = 32,
@@ -186,10 +196,11 @@ def isscam(model, variables, x, class_idx: int, batch_size: int = 32,
     """ISS-CAM (cam.py:361-447): integration over mask intensity scaling.
 
     fmap accumulates sum_{i<=m} i/N * (x*mask); scores accumulate per step.
+    Same in-place-normalization quirk as scorecam (cam.py:419-422).
     """
     features, _, forward = backbone_split(model, variables)
-    feats = features(x)
-    masks = _channel_masks(feats, x)
+    norm_feats = _normalize_channels(features(x))
+    masks = _channel_masks(norm_feats, x)
     base = x[0] * masks  # (K, H, W, C)
 
     def step(carry, idx):
@@ -199,4 +210,4 @@ def isscam(model, variables, x, class_idx: int, batch_size: int = 32,
 
     _, ws = jax.lax.scan(step, jnp.zeros_like(base), jnp.arange(num_samples, dtype=jnp.float32))
     weights = ws.sum(axis=0)
-    return _combine(feats, weights, relu=True, normalized=normalized)
+    return _combine(norm_feats, weights, relu=True, normalized=normalized)

@@ -1,0 +1,104 @@
+"""CAM-family parity against the reference's own vendored torchcam classes
+(torchcam/cams/cam.py, gradcam.py) run on the converted torch model."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scouter_tpu.models import create_model, torch_state_dict_to_variables
+from test_models import _make_ref_model
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import torch
+
+    torch.manual_seed(3)
+    ref = _make_ref_model("resnet18", num_classes=6)
+    ref.eval()
+    variables = torch_state_dict_to_variables(ref.state_dict())
+    model = create_model("resnet18", num_classes=6)
+    x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    return ref, model, variables, x, xt
+
+
+def _ref_map(extractor, ref, xt, class_idx, with_grad=False):
+    import torch
+
+    if with_grad:
+        scores = ref(xt)
+        out = extractor(class_idx, scores)
+    else:
+        with torch.no_grad():
+            scores = ref(xt)
+        out = extractor(class_idx, scores)
+    extractor.clear_hooks()
+    return out.detach().numpy()
+
+
+def _close(a, b, tol=2e-3):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+
+
+class TestTorchcamParity:
+    def test_cam(self, setup):
+        from torchcam.cams import CAM as RefCAM
+
+        from scouter_tpu.explain.cam import cam
+
+        ref, model, variables, x, xt = setup
+        want = _ref_map(RefCAM(ref, "layer4", "fc"), ref, xt, 2)
+        got = np.asarray(cam(model, variables, jnp.asarray(x), 2))
+        _close(got, want)
+
+    def test_gradcam(self, setup):
+        from torchcam.cams import GradCAM as RefGradCAM
+
+        from scouter_tpu.explain.cam import gradcam
+
+        ref, model, variables, x, xt = setup
+        want = _ref_map(RefGradCAM(ref, "layer4"), ref, xt, 1, with_grad=True)
+        got = np.asarray(gradcam(model, variables, jnp.asarray(x), 1))
+        _close(got, want)
+
+    def test_gradcampp(self, setup):
+        from torchcam.cams import GradCAMpp as RefGradCAMpp
+
+        from scouter_tpu.explain.cam import gradcampp
+
+        ref, model, variables, x, xt = setup
+        want = _ref_map(RefGradCAMpp(ref, "layer4"), ref, xt, 4, with_grad=True)
+        got = np.asarray(gradcampp(model, variables, jnp.asarray(x), 4))
+        _close(got, want)
+
+    def test_scorecam(self, setup):
+        from torchcam.cams import ScoreCAM as RefScoreCAM
+
+        from scouter_tpu.explain.cam import scorecam
+
+        ref, model, variables, x, xt = setup
+        want = _ref_map(RefScoreCAM(ref, "layer4", "conv1", batch_size=16),
+                        ref, xt, 0)
+        got = np.asarray(scorecam(model, variables, jnp.asarray(x), 0, batch_size=16))
+        _close(got, want)
+
+    def test_isscam(self, setup):
+        from torchcam.cams import ISSCAM as RefISSCAM
+
+        from scouter_tpu.explain.cam import isscam
+
+        ref, model, variables, x, xt = setup
+        want = _ref_map(RefISSCAM(ref, "layer4", "conv1", batch_size=16,
+                                  num_samples=4), ref, xt, 3)
+        got = np.asarray(isscam(model, variables, jnp.asarray(x), 3,
+                                batch_size=16, num_samples=4))
+        _close(got, want)

@@ -148,7 +148,12 @@ def _head_from(model, variables, saliency_layer, class_sign=1.0):
     def rest(feats):
         f = model.apply(variables, feats, start_from=saliency_layer, features_only=True)
         pooled = ebp_mean(f, (1, 2))
-        return pooled @ (class_sign * fc["kernel"]) + fc["bias"]
+        # resolve jax.lax.dot_general at CALL time so the ebp_rules patch
+        # applies (jnp.matmul binds the internal dot_general and would bypass
+        # the EBP w+ rule on the classifier)
+        out = jax.lax.dot_general(pooled, class_sign * fc["kernel"],
+                                  (((1,), (0,)), ((), ())))
+        return out + fc["bias"]
 
     return rest
 

@@ -127,3 +127,92 @@ class TestIGOS:
         assert dels.shape == (5,) and ins.shape == (5,)
         # deleting everything drives class prob to the blurred baseline score
         assert float(dels[-1]) == pytest.approx(float(jax.nn.softmax(forward(blurred))[0, 0]), abs=1e-5)
+
+
+class TestIbaReferenceParity:
+    """Deterministic IBA internals vs the vendored reference
+    (torchcam/IBA/pytorch.py): Welford estimator, KL capacity, gaussian
+    smoothing kernel."""
+
+    @staticmethod
+    def _ref_mod():
+        import sys
+
+        from test_models import _stub_module
+
+        tv = _stub_module("torchvision")
+        tf = _stub_module("torchvision.transforms",
+                          Normalize=object, Compose=object)
+        tf.Normalize = getattr(tf, "Normalize", object)
+        tf.Compose = getattr(tf, "Compose", object)
+        _stub_module("torchvision.transforms.functional")
+        _stub_module("torchvision.datasets")
+        _stub_module("torchvision.models")
+        tv.transforms = tf
+        sk = _stub_module("skimage")
+        skt = _stub_module("skimage.transform", resize=lambda *a, **k: a[0])
+        sk.transform = skt
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from torchcam.IBA import pytorch as ref_iba
+        return ref_iba
+
+    def test_welford_estimator(self):
+        import torch
+
+        ref_iba = self._ref_mod()
+        rng = np.random.RandomState(0)
+        batches = [rng.randn(4, 3, 5, 5).astype(np.float32) for _ in range(5)]
+        batches[0][:, 1] = 0.0  # force an inactive neuron plane
+
+        est = ref_iba.TorchWelfordEstimator()
+        for b in batches:
+            est(torch.from_numpy(b))
+
+        from scouter_tpu.explain.iba import estimate_stats
+
+        stats = estimate_stats(lambda b: b, batches)
+        assert stats.n_samples == est.n_samples()
+        np.testing.assert_allclose(np.asarray(stats.mean), est.mean().numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(stats.std), est.std().numpy(),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(stats.active), est.active_neurons().numpy().astype(np.float32))
+
+    def test_kl_capacity(self):
+        import torch
+
+        ref_iba = self._ref_mod()
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 3, 4, 4).astype(np.float32)
+        lam = rng.uniform(0.01, 0.99, x.shape).astype(np.float32)
+        mean = rng.randn(3, 4, 4).astype(np.float32)
+        std = rng.uniform(0.5, 2.0, (3, 4, 4)).astype(np.float32)
+
+        want = ref_iba.IBA._kl_div(torch.from_numpy(x), torch.from_numpy(lam),
+                                   torch.from_numpy(mean), torch.from_numpy(std)).numpy()
+
+        from scouter_tpu.explain.iba import _capacity
+
+        got = np.asarray(_capacity(jnp.asarray(x), jnp.asarray(lam),
+                                   jnp.asarray(mean), jnp.asarray(std)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_gaussian_smooth(self):
+        import torch
+
+        ref_iba = self._ref_mod()
+        sigma = 1.5
+        ks = int(round(2 * sigma)) * 2 + 1
+        rng = np.random.RandomState(2)
+        x = rng.randn(1, 3, 8, 8).astype(np.float32)
+        smooth = ref_iba._SpatialGaussianKernel(ks, sigma, 3)
+        with torch.no_grad():
+            want = smooth(torch.from_numpy(x)).numpy()
+
+        from scouter_tpu.explain.iba import _gaussian_smooth
+
+        got = np.asarray(_gaussian_smooth(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), sigma)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -108,3 +108,44 @@ class TestEndToEnd:
         outside = m[20:, 20:].mean()
         assert inside > outside
         assert hist.shape == (1, 2, 60)
+
+
+class TestFullLoopParity:
+    """End-to-end extremal_perturbation vs the vendored torchray loop
+    (extremal_perturbation.py:456-691) — deterministic (the jitter flip is
+    t%2==0 in both), so the full SGD trajectory can be compared."""
+
+    def test_60_iter_trajectory(self):
+        import sys
+
+        import torch
+
+        from test_models import _make_ref_model
+        from scouter_tpu.models import create_model, torch_state_dict_to_variables
+
+        torch.manual_seed(3)
+        ref = _make_ref_model("resnet18", num_classes=6)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model("resnet18", num_classes=6)
+        x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from torchray.attribution.extremal_perturbation import (
+            extremal_perturbation as tr_ep,
+        )
+
+        masks_t, _ = tr_ep(ref, xt, 2, areas=[0.12], max_iter=60)
+        want = masks_t.detach().numpy()[0, 0]
+
+        from scouter_tpu.explain.extremal import extremal_perturbation
+
+        masks_j, _ = extremal_perturbation(
+            lambda imgs: model.apply(variables, imgs),
+            jnp.asarray(x), 2, areas=(0.12,), max_iter=60)
+        got = np.asarray(masks_j)[0, :, :, 0]
+        # fp divergence compounds over 60 chaotic SGD steps; 5e-2 max abs on a
+        # [0,1] mask demonstrates trajectory-level parity
+        assert np.abs(want - got).max() < 5e-2
+        assert abs(want.mean() - got.mean()) < 5e-3

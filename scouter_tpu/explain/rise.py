@@ -2,16 +2,21 @@
 ``torchray/attribution/rise.py:110-240``.
 
 Semantics: ``num_masks`` random low-res binary grids (cell value 1 w.p. ``p``),
-bilinearly upsampled to input+cell size, randomly shifted, applied
-multiplicatively to the input; per-mask class scores pass through sigmoid, and
-the saliency for each class is the score-weighted average of the masks.
+reflect-padded by one cell and bilinearly upsampled (``_upsample_reflect``,
+rise.py:38-80), randomly shifted, applied multiplicatively to the input;
+per-mask class scores pass through sigmoid, and the saliency for each class is
+the score-weighted average of the masks.
 
 TPU-first: mask generation, masking, forwards, and the weighted accumulation
 are one scanned program over chunks — the reference's per-image python loop and
 RNG state save/restore (rise.py:176-233) are replaced by an explicit PRNG key.
+``filter_masks`` (precomputed masks, rise.py:132-134) is supported for
+reproducibility and cross-framework comparison.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,14 +26,20 @@ __all__ = ["rise"]
 
 def _make_masks(key, num: int, num_cells: int, p: float,
                 height: int, width: int) -> jnp.ndarray:
-    """(num, H, W) float masks: low-res binary -> bilinear upsample -> shift crop."""
+    """(num, H, W) float masks: low-res binary -> reflect-pad one cell ->
+    bilinear upsample -> slice with buffer -> random shift crop
+    (rise.py:38-80, 190-212)."""
     kg, kx, ky = jax.random.split(key, 3)
     cell_h = -(-height // num_cells)
     cell_w = -(-width // num_cells)
     up_h, up_w = height + cell_h, width + cell_w
 
     grid = (jax.random.uniform(kg, (num, num_cells, num_cells)) < p).astype(jnp.float32)
-    up = jax.image.resize(grid, (num, up_h, up_w), method="bilinear")
+    padded = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    pad_h = cell_h * (num_cells + 2)
+    pad_w = cell_w * (num_cells + 2)
+    up_full = jax.image.resize(padded, (num, pad_h, pad_w), method="bilinear")
+    up = up_full[:, cell_h:cell_h + up_h, cell_w:cell_w + up_w]
     sx = jax.random.randint(kx, (num,), 0, cell_h)
     sy = jax.random.randint(ky, (num,), 0, cell_w)
 
@@ -41,27 +52,50 @@ def _make_masks(key, num: int, num_cells: int, p: float,
 def rise(
     forward,
     x: jnp.ndarray,
-    key,
+    key=None,
     *,
     num_masks: int = 8000,
     num_cells: int = 7,
     batch_size: int = 32,
     p: float = 0.5,
+    filter_masks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """RISE saliency for all classes.
 
     Args:
       forward: images (B, H, W, C) -> logits (B, num_classes).
       x: (1, H, W, C) input.
+      key: PRNG key for mask generation (unused with ``filter_masks``).
+      filter_masks: optional precomputed (num_masks, H, W) masks
+        (rise.py:132-134).
     Returns: (num_classes, H, W) saliency.
     """
     h, w = x.shape[1:3]
     num_chunks = -(-num_masks // batch_size)
     total = num_chunks * batch_size
-    keys = jax.random.split(key, num_chunks)
 
-    def chunk(carry, k):
-        masks = _make_masks(k, batch_size, num_cells, p, h, w)  # (bs, H, W)
+    if filter_masks is not None:
+        assert filter_masks.shape[0] == num_masks
+        pad = total - num_masks
+        masks_all = jnp.concatenate(
+            [jnp.asarray(filter_masks, jnp.float32),
+             jnp.zeros((pad, h, w), jnp.float32)]
+        ) if pad else jnp.asarray(filter_masks, jnp.float32)
+        chunk_inputs = masks_all.reshape(num_chunks, batch_size, h, w)
+    else:
+        chunk_inputs = (jax.random.split(key, num_chunks),
+                        jnp.arange(num_chunks) * batch_size)
+
+    def chunk(carry, inp):
+        if filter_masks is not None:
+            masks = inp  # (bs, H, W)
+        else:
+            k, offset = inp
+            masks = _make_masks(k, batch_size, num_cells, p, h, w)
+            # zero trailing masks past num_masks (the reference's smaller
+            # last chunk, rise.py:187-188) — zero masks contribute nothing
+            valid = (offset + jnp.arange(batch_size)) < num_masks
+            masks = masks * valid[:, None, None]
         masked = x * masks[..., None]  # (bs, H, W, C)
         scores = jax.nn.sigmoid(forward(masked))  # (bs, C)
         # saliency += scores^T @ masks
@@ -70,5 +104,5 @@ def rise(
 
     n_classes = forward(x).shape[1]
     init = jnp.zeros((n_classes, h, w), jnp.float32)
-    sal, _ = jax.lax.scan(chunk, init, keys)
-    return sal / total
+    sal, _ = jax.lax.scan(chunk, init, chunk_inputs)
+    return sal / num_masks

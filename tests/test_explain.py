@@ -141,3 +141,83 @@ class TestPointingGameBenchmark:
         bench.aggregate(1, 1)
         bench.aggregate(-1, 0)
         assert bench.class_accuracies.tolist() == [0.0, 1.0]
+
+
+class TestRiseReferenceParity:
+    """RISE vs the vendored torchray implementation. Mask RNGs differ across
+    frameworks (and the reference does not even correlate with itself across
+    seeds at practical mask counts), so the definitive check feeds BOTH sides
+    the same precomputed masks via filter_masks (rise.py:132-134)."""
+
+    def test_exact_with_shared_masks(self):
+        import sys
+
+        import torch
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from torchray.attribution import rise as tr_mod
+
+        H = W = 32
+
+        def quad_slices():
+            return [(slice(0, 16), slice(0, 16)), (slice(0, 16), slice(16, 32)),
+                    (slice(16, 32), slice(0, 16)), (slice(16, 32), slice(16, 32))]
+
+        class TorchQuad(torch.nn.Module):
+            def forward(self, x):
+                m = x.mean(dim=1)
+                outs = [m[:, sy, sx].mean(dim=(1, 2)) for sy, sx in quad_slices()]
+                return torch.stack(outs, dim=1) * 10.0
+
+        def jax_quad(x):
+            m = x.mean(axis=-1)
+            outs = [m[:, sy, sx].mean(axis=(1, 2)) for sy, sx in quad_slices()]
+            return jnp.stack(outs, axis=1) * 10.0
+
+        rng = np.random.RandomState(0)
+        x = rng.rand(1, H, W, 3).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+        # reference-generated masks (binary grid -> reflect upsample -> shift)
+        torch.manual_seed(11)
+        cell = -(-H // 7)
+        grid = (torch.rand(200, 1, 7, 7) < 0.5).float()
+        up = tr_mod._upsample_reflect(grid, (H + cell, W + cell))
+        masks = torch.empty(200, 1, H, W)
+        sx = torch.randint(0, cell, (200,))
+        sy = torch.randint(0, cell, (200,))
+        for i in range(200):
+            masks[i] = up[i, :, sx[i]:sx[i] + H, sy[i]:sy[i] + W]
+
+        with torch.no_grad():
+            want = tr_mod.rise(TorchQuad(), xt, num_masks=200, batch_size=64,
+                               filter_masks=masks).numpy()[0]
+
+        from scouter_tpu.explain.rise import rise
+
+        got = np.asarray(rise(jax_quad, jnp.asarray(x), num_masks=200,
+                              batch_size=64,
+                              filter_masks=jnp.asarray(masks.numpy()[:, 0])))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_own_masks_localize(self):
+        """Generated-mask path (reflect-pad upsample semantics) localizes the
+        class-0 signal to its quadrant."""
+        def jax_quad(x):
+            m = x.mean(axis=-1)
+            outs = [m[:, :16, :16].mean(axis=(1, 2)), m[:, 16:, 16:].mean(axis=(1, 2))]
+            return jnp.stack(outs, axis=1) * 10.0
+
+        import jax as _jax
+
+        rng = np.random.RandomState(0)
+        x = rng.rand(1, 32, 32, 3).astype(np.float32)
+        from scouter_tpu.explain.rise import rise
+
+        sal = np.asarray(rise(jax_quad, jnp.asarray(x), _jax.random.PRNGKey(0),
+                              num_masks=2000, batch_size=100))
+        r0, c0 = np.unravel_index(sal[0].argmax(), sal[0].shape)
+        assert r0 < 16 and c0 < 16
+        r1, c1 = np.unravel_index(sal[1].argmax(), sal[1].shape)
+        assert r1 >= 16 and c1 >= 16

@@ -221,3 +221,41 @@ class TestRiseReferenceParity:
         assert r0 < 16 and c0 < 16
         r1, c1 = np.unravel_index(sal[1].argmax(), sal[1].shape)
         assert r1 >= 16 and c1 >= 16
+
+
+def test_pointing_game_matches_reference():
+    """Hit/miss decisions identical to torchray's PointingGame
+    (pointing_game.py:35-127) over random masks/points."""
+    import sys
+
+    import torch
+
+    from test_models import _stub_module
+
+    tv = _stub_module("torchvision")
+    ds = _stub_module("torchvision.datasets",
+                      VOCDetection=type("V", (object,), {}),
+                      CocoDetection=type("C", (object,), {}),
+                      ImageFolder=type("IF", (object,), {}))
+    md = _stub_module("torchvision.models")
+    tf = _stub_module("torchvision.transforms")
+    _stub_module("torchvision.transforms.functional")
+    tv.datasets, tv.models, tv.transforms = ds, md, tf
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from torchray.benchmark.pointing_game import PointingGame as RefPG
+
+    from scouter_tpu.explain.pointing_game import PointingGame
+
+    ref = RefPG(num_classes=3, tolerance=3)
+    mine = PointingGame(num_classes=3, tolerance=3)
+    rng = np.random.RandomState(0)
+    outcomes = []
+    for _ in range(300):
+        mask = rng.rand(24, 24) > 0.95
+        pt = (int(rng.randint(24)), int(rng.randint(24)))
+        want = ref.evaluate(torch.from_numpy(mask), pt)
+        got = mine.evaluate(mask.astype(np.uint8), pt)
+        assert want == got
+        outcomes.append(want)
+    assert 1 in outcomes and -1 in outcomes  # both branches exercised

@@ -42,14 +42,24 @@ def _shear_y(img, factor):
                          resample=Image.BILINEAR, fillcolor=_FILL)
 
 
-def _translate_x(img, pct):
+def _translate_x_rel(img, pct):
     pixels = pct * img.size[0]
     return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0),
                          resample=Image.BILINEAR, fillcolor=_FILL)
 
 
-def _translate_y(img, pct):
+def _translate_y_rel(img, pct):
     pixels = pct * img.size[1]
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels),
+                         resample=Image.BILINEAR, fillcolor=_FILL)
+
+
+def _translate_x_abs(img, pixels):
+    return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0),
+                         resample=Image.BILINEAR, fillcolor=_FILL)
+
+
+def _translate_y_abs(img, pixels):
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels),
                          resample=Image.BILINEAR, fillcolor=_FILL)
 
@@ -59,7 +69,11 @@ def _rotate(img, degrees):
 
 
 def _posterize(img, bits):
-    return ImageOps.posterize(img, max(1, int(bits)))
+    # bits 0 deliberately blacks the image (timm auto_augment.py:153-156,373
+    # "This results in black image with Tpu posterize")
+    if bits >= 8:
+        return img
+    return ImageOps.posterize(img, int(bits))
 
 
 def _solarize(img, thresh):
@@ -79,22 +93,46 @@ def _enhance(cls):
     return op
 
 
+_TRANSLATE_CONST = 250.0  # timm _HPARAMS_DEFAULT translate_const
+
+
+def _enhance_arg(l):
+    """plain enhance magnitude (timm _enhance_level_to_arg): unsigned."""
+    return (l / _MAX_LEVEL) * 1.8 + 0.1
+
+
+def _enhance_increasing_arg(l):
+    return 1.0 + _randomly_negate((l / _MAX_LEVEL) * 0.9)
+
+
+# (op_fn, level->arg) — names and magnitude rules mirror timm LEVEL_TO_ARG
+# (auto_augment.py:180-286): plain / Increasing / Original variants are
+# distinct ops with distinct scalings.
 _OPS = {
     "AutoContrast": (lambda img, _: ImageOps.autocontrast(img), lambda l: None),
     "Equalize": (lambda img, _: ImageOps.equalize(img), lambda l: None),
     "Invert": (lambda img, _: ImageOps.invert(img), lambda l: None),
     "Rotate": (_rotate, lambda l: _randomly_negate(l / _MAX_LEVEL * 30.0)),
-    "Posterize": (_posterize, lambda l: 4 - int(l / _MAX_LEVEL * 4)),
-    "Solarize": (_solarize, lambda l: 256 - int(l / _MAX_LEVEL * 256)),
+    "Posterize": (_posterize, lambda l: int(l / _MAX_LEVEL * 4)),
+    "PosterizeIncreasing": (_posterize, lambda l: 4 - int(l / _MAX_LEVEL * 4)),
+    "PosterizeOriginal": (_posterize, lambda l: int(l / _MAX_LEVEL * 4) + 4),
+    "Solarize": (_solarize, lambda l: int(l / _MAX_LEVEL * 256)),
+    "SolarizeIncreasing": (_solarize, lambda l: 256 - int(l / _MAX_LEVEL * 256)),
     "SolarizeAdd": (_solarize_add, lambda l: int(l / _MAX_LEVEL * 110)),
-    "Color": (_enhance(ImageEnhance.Color), lambda l: 1.0 + _randomly_negate(l / _MAX_LEVEL * 0.9)),
-    "Contrast": (_enhance(ImageEnhance.Contrast), lambda l: 1.0 + _randomly_negate(l / _MAX_LEVEL * 0.9)),
-    "Brightness": (_enhance(ImageEnhance.Brightness), lambda l: 1.0 + _randomly_negate(l / _MAX_LEVEL * 0.9)),
-    "Sharpness": (_enhance(ImageEnhance.Sharpness), lambda l: 1.0 + _randomly_negate(l / _MAX_LEVEL * 0.9)),
+    "Color": (_enhance(ImageEnhance.Color), _enhance_arg),
+    "ColorIncreasing": (_enhance(ImageEnhance.Color), _enhance_increasing_arg),
+    "Contrast": (_enhance(ImageEnhance.Contrast), _enhance_arg),
+    "ContrastIncreasing": (_enhance(ImageEnhance.Contrast), _enhance_increasing_arg),
+    "Brightness": (_enhance(ImageEnhance.Brightness), _enhance_arg),
+    "BrightnessIncreasing": (_enhance(ImageEnhance.Brightness), _enhance_increasing_arg),
+    "Sharpness": (_enhance(ImageEnhance.Sharpness), _enhance_arg),
+    "SharpnessIncreasing": (_enhance(ImageEnhance.Sharpness), _enhance_increasing_arg),
     "ShearX": (_shear_x, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.3)),
     "ShearY": (_shear_y, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.3)),
-    "TranslateX": (_translate_x, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
-    "TranslateY": (_translate_y, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
+    "TranslateX": (_translate_x_abs, lambda l: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST)),
+    "TranslateY": (_translate_y_abs, lambda l: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST)),
+    "TranslateXRel": (_translate_x_rel, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
+    "TranslateYRel": (_translate_y_rel, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
 }
 
 
@@ -122,7 +160,7 @@ def auto_augment_policy(name: str = "v0") -> List[List[Tuple[str, float, float]]
             [("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)],
             [("Solarize", 0.6, 8), ("Color", 0.6, 9)],
             [("Solarize", 0.2, 4), ("Rotate", 0.8, 9)],
-            [("Rotate", 1.0, 7), ("TranslateY", 0.8, 9)],
+            [("Rotate", 1.0, 7), ("TranslateYRel", 0.8, 9)],
             [("ShearX", 0.0, 0), ("Solarize", 0.8, 4)],
             [("ShearY", 0.8, 0), ("Color", 0.6, 4)],
             [("Color", 1.0, 0), ("Rotate", 0.6, 2)],
@@ -135,21 +173,31 @@ def auto_augment_policy(name: str = "v0") -> List[List[Tuple[str, float, float]]
         ]
     if name == "original":
         return [
-            [("Posterize", 0.4, 8), ("Rotate", 0.6, 9)],
+            [("PosterizeOriginal", 0.4, 8), ("Rotate", 0.6, 9)],
             [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
             [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
-            [("Posterize", 0.6, 7), ("Posterize", 0.6, 6)],
+            [("PosterizeOriginal", 0.6, 7), ("PosterizeOriginal", 0.6, 6)],
             [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
             [("Equalize", 0.4, 4), ("Rotate", 0.8, 8)],
             [("Solarize", 0.6, 3), ("Equalize", 0.6, 7)],
-            [("Posterize", 0.8, 5), ("Equalize", 1.0, 2)],
+            [("PosterizeOriginal", 0.8, 5), ("Equalize", 1.0, 2)],
             [("Rotate", 0.2, 3), ("Solarize", 0.6, 8)],
-            [("Equalize", 0.6, 8), ("Posterize", 0.4, 6)],
+            [("Equalize", 0.6, 8), ("PosterizeOriginal", 0.4, 6)],
             [("Rotate", 0.8, 8), ("Color", 0.4, 0)],
             [("Rotate", 0.4, 9), ("Equalize", 0.6, 2)],
             [("Equalize", 0.0, 7), ("Equalize", 0.8, 8)],
             [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
             [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+            [("Rotate", 0.8, 8), ("Color", 1.0, 2)],
+            [("Color", 0.8, 8), ("Solarize", 0.8, 7)],
+            [("Sharpness", 0.4, 7), ("Invert", 0.6, 8)],
+            [("ShearX", 0.6, 5), ("Equalize", 1.0, 9)],
+            [("Color", 0.4, 0), ("Equalize", 0.6, 3)],
+            [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+            [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+            [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+            [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+            [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
         ]
     raise ValueError(f"unknown policy {name!r}")
 
@@ -168,7 +216,10 @@ class AutoAugment:
 
 
 def rand_augment_ops() -> Sequence[str]:
-    return tuple(_OPS)
+    """timm _RAND_TRANSFORMS (auto_augment.py:538-555)."""
+    return ("AutoContrast", "Equalize", "Invert", "Rotate", "Posterize",
+            "Solarize", "SolarizeAdd", "Color", "Contrast", "Brightness",
+            "Sharpness", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel")
 
 
 class RandAugment:

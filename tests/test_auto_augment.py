@@ -1,6 +1,7 @@
 """AutoAugment / RandAugment tests."""
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from scouter_tpu.data.auto_augment import (
@@ -22,7 +23,9 @@ def test_policies_are_wellformed():
         assert len(policy) >= 15
         for sub in policy:
             for op, prob, mag in sub:
-                assert op in rand_augment_ops()
+                from scouter_tpu.data.auto_augment import _OPS
+
+                assert op in _OPS
                 assert 0.0 <= prob <= 1.0
                 assert 0 <= mag <= 10
 
@@ -54,3 +57,68 @@ def test_each_op_individually():
     for op in rand_augment_ops():
         out = _apply(img, op, 5)
         assert out.size == img.size
+
+
+class TestReferenceTableParity:
+    """Level->magnitude rules and policy tables vs the vendored timm
+    auto_augment (timm/data/auto_augment.py)."""
+
+    @staticmethod
+    def _ref_mod():
+        import sys
+
+        import collections.abc
+
+        from test_models import _stub_module
+
+        tv = _stub_module("torchvision")
+        tf = _stub_module("torchvision.transforms")
+        _stub_module("torchvision.transforms.functional")
+        tv.transforms = tf
+        _stub_module("torch._six", container_abcs=collections.abc,
+                     int_classes=int, string_classes=str)
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from timm.data import auto_augment as ref_aa
+        return ref_aa
+
+    def test_level_to_arg_tables(self):
+        import random
+
+        ref_aa = self._ref_mod()
+        from scouter_tpu.data.auto_augment import _OPS
+
+        for name, (_, to_arg) in _OPS.items():
+            ref_fn = ref_aa.LEVEL_TO_ARG[name]
+            for level in range(11):
+                random.seed(1234 + level)
+                want = ref_fn(level, ref_aa._HPARAMS_DEFAULT) if ref_fn else None
+                random.seed(1234 + level)
+                got = to_arg(level)
+                if want is None:
+                    assert got is None, name
+                else:
+                    assert len(want) == 1
+                    assert got == pytest.approx(want[0]), (name, level, got, want)
+
+    @pytest.mark.parametrize("policy", ["v0", "original"])
+    def test_policy_tables(self, policy):
+        ref_aa = self._ref_mod()
+        from scouter_tpu.data.auto_augment import auto_augment_policy
+
+        ref_policy = ref_aa.auto_augment_policy(policy)
+        mine = auto_augment_policy(policy)
+        assert len(ref_policy) == len(mine)
+        for ref_sub, my_sub in zip(ref_policy, mine):
+            assert len(ref_sub) == len(my_sub)
+            for ref_op, (name, prob, magnitude) in zip(ref_sub, my_sub):
+                assert ref_op.prob == pytest.approx(prob)
+                assert ref_op.magnitude == pytest.approx(magnitude)
+                assert ref_op.level_fn is (ref_aa.LEVEL_TO_ARG[name] or None), name
+                assert ref_op.aug_fn is ref_aa.NAME_TO_OP[name], name
+
+    def test_rand_augment_default_ops(self):
+        ref_aa = self._ref_mod()
+        from scouter_tpu.data.auto_augment import rand_augment_ops
+
+        assert list(rand_augment_ops()) == list(ref_aa._RAND_TRANSFORMS)

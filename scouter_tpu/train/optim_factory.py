@@ -24,6 +24,138 @@ def no_decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
 
+def _timm_nadam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                weight_decay: float = 0.0, schedule_decay: float = 4e-3):
+    """timm Nadam (``timm/optim/nadam.py:34-92``): Nesterov-Adam with the 0.96
+    momentum warm-up schedule. Trajectory-parity tested vs the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"step": jnp.zeros((), jnp.int32),
+                "m_schedule": jnp.ones(()),
+                "exp_avg": zeros,
+                "exp_avg_sq": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update(grads, state, params=None):
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        mc_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * schedule_decay))
+        mc_t1 = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * schedule_decay))
+        msched_new = state["m_schedule"] * mc_t
+        msched_next = msched_new * mc_t1
+
+        if weight_decay and params is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g + weight_decay * p, grads, params)
+
+        exp_avg = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state["exp_avg"], grads)
+        exp_avg_sq = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state["exp_avg_sq"], grads)
+
+        def upd(g, m, v):
+            denom = jnp.sqrt(v / (1.0 - b2**tf)) + eps
+            return (-lr * (1.0 - mc_t) / (1.0 - msched_new) * g / denom
+                    - lr * mc_t1 / (1.0 - msched_next) * m / denom)
+
+        updates = jax.tree_util.tree_map(upd, grads, exp_avg, exp_avg_sq)
+        return updates, {"step": t, "m_schedule": msched_new,
+                         "exp_avg": exp_avg, "exp_avg_sq": exp_avg_sq}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _timm_novograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
+                   weight_decay: float = 0.0, grad_averaging: bool = False):
+    """timm NovoGrad (``timm/optim/novograd.py:12-77``), including its init
+    quirk: the first gradient seeds v/m before the regular step runs on it."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32),
+                "v": jax.tree_util.tree_map(lambda p: jnp.zeros(()), params),
+                "m": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "grad_ema": jax.tree_util.tree_map(lambda p: jnp.zeros(()), params)}
+
+    def update(grads, state, params=None):
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        first = state["step"] == 0
+
+        def leaf(g, p, v, m, gema):
+            g2_raw = jnp.sum(g * g)
+            # init pass on the first step (novograd.py:31-46)
+            v0 = g2_raw
+            m0 = g / (jnp.sqrt(v0) + eps) + weight_decay * p
+            v_in = jnp.where(first, v0, v)
+            m_in = jnp.where(first, m0, m)
+            gema_new = jnp.where(first, g2_raw, b2 * gema + (1.0 - b2) * g2_raw)
+            gn = g / (jnp.sqrt(gema_new) + eps)
+            if grad_averaging:
+                gn = gn * (1.0 - b1)
+            g2 = jnp.sum(gn * gn)
+            v_new = b2 * v_in + (1.0 - b2) * g2
+            m_new = b1 * m_in + (gn / (jnp.sqrt(v_new) + eps) + weight_decay * p)
+            step_size = lr * jnp.sqrt(1.0 - b2**tf) / (1.0 - b1**tf)
+            return -step_size * m_new, v_new, m_new, gema_new
+
+        flat = jax.tree_util.tree_map(
+            leaf, grads, params, state["v"], state["m"], state["grad_ema"])
+        updates = jax.tree_util.tree_map(lambda r: r[0], flat,
+                                         is_leaf=lambda x: isinstance(x, tuple))
+        v = jax.tree_util.tree_map(lambda r: r[1], flat,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+        m = jax.tree_util.tree_map(lambda r: r[2], flat,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+        gema = jax.tree_util.tree_map(lambda r: r[3], flat,
+                                      is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {"step": t, "v": v, "m": m, "grad_ema": gema}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _timm_nvnovograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
+                     weight_decay: float = 0.0, grad_averaging: bool = False):
+    """timm NvNovoGrad (``timm/optim/nvnovograd.py:30-118``): per-tensor scalar
+    second moment seeded by the first gradient norm."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32),
+                "exp_avg": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "exp_avg_sq": jax.tree_util.tree_map(lambda p: jnp.zeros(()), params)}
+
+    def update(grads, state, params=None):
+        t = state["step"] + 1
+        first = state["step"] == 0
+
+        def leaf(g, p, m, vsq):
+            norm = jnp.sum(g * g)
+            vsq_new = jnp.where(first, norm, b2 * vsq + (1.0 - b2) * norm)
+            gn = g / (jnp.sqrt(vsq_new) + eps)
+            gn = gn + weight_decay * p
+            if grad_averaging:
+                gn = gn * (1.0 - b1)
+            m_new = b1 * m + gn
+            return -lr * m_new, m_new, vsq_new
+
+        flat = jax.tree_util.tree_map(leaf, grads, params,
+                                      state["exp_avg"], state["exp_avg_sq"])
+        updates = jax.tree_util.tree_map(lambda r: r[0], flat,
+                                         is_leaf=lambda x: isinstance(x, tuple))
+        m = jax.tree_util.tree_map(lambda r: r[1], flat,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+        vsq = jax.tree_util.tree_map(lambda r: r[2], flat,
+                                     is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {"step": t, "exp_avg": m, "exp_avg_sq": vsq}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _base(opt: str, lr: float, weight_decay: float, momentum: float, eps: float,
           params: Optional[Any]):
     mask = no_decay_mask(params) if params is not None else None
@@ -38,7 +170,10 @@ def _base(opt: str, lr: float, weight_decay: float, momentum: float, eps: float,
         tx = optax.adamw(lr, eps=eps, weight_decay=weight_decay, mask=mask)
         return tx, True
     elif opt == "nadam":
-        tx = optax.nadam(lr, eps=eps)
+        # timm's Nadam with the 0.96 momentum warm-up schedule (trajectory
+        # parity vs the reference; optax.nadam implements a different variant)
+        tx = _timm_nadam(lr, eps=eps, weight_decay=weight_decay)
+        return tx, True
     elif opt == "radam":
         tx = optax.radam(lr, eps=eps)
     elif opt in ("rmsprop", "rmsproptf"):
@@ -46,7 +181,10 @@ def _base(opt: str, lr: float, weight_decay: float, momentum: float, eps: float,
         tx = optax.rmsprop(lr, decay=0.9, eps=eps, momentum=momentum,
                            initial_scale=1.0 if opt == "rmsproptf" else 0.0)
     elif opt == "novograd":
-        tx = optax.novograd(lr, eps=eps, weight_decay=weight_decay)
+        tx = _timm_novograd(lr, eps=eps, weight_decay=weight_decay)
+        return tx, True
+    elif opt == "nvnovograd":
+        tx = _timm_nvnovograd(lr, eps=eps, weight_decay=weight_decay)
         return tx, True
     elif opt == "adadelta":
         tx = optax.adadelta(lr, eps=eps)

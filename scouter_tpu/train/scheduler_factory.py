@@ -3,8 +3,13 @@
 schedules. All schedules are epoch-indexed callables ``epoch -> lr`` so they
 compose with the per-epoch lr injection (train/steps.set_learning_rate).
 
-Supported: step (the reference's StepLR), multistep, cosine (+cycles),
-tanh, plateau (metric-driven), all with linear warmup and optional noise.
+Schedule math mirrors the reference ``_get_lr`` implementations exactly
+(verified by trajectory-parity tests): step (``step_lr.py:40-45``), cosine with
+cycles/decay (``cosine_lr.py:62-89``), tanh (``tanh_lr.py:66-96``), linear
+warmup (lr(t) = init + t*(target-init)/warmup_t, reaching the target at the
+first post-warmup epoch; the tanh warmup targets the tanh value at warmup_t,
+``tanh_lr.py:59-63``), and seeded noise (``scheduler.py:87-105``). ``multistep``
+is an extra convenience not present in the reference.
 """
 
 from __future__ import annotations
@@ -19,18 +24,40 @@ __all__ = ["create_scheduler", "PlateauScheduler"]
 Schedule = Callable[[int], float]
 
 
-def _with_warmup(fn: Schedule, warmup_epochs: int, warmup_lr_init: float,
-                 base_lr: float) -> Schedule:
-    if warmup_epochs <= 0:
-        return fn
+def _cycle(t: int, t_initial: int, t_mul: float):
+    """(cycle index, cycle length, position in cycle) — cosine_lr.py:69-76."""
+    if t_mul != 1.0:
+        i = math.floor(math.log(1 - t / t_initial * (1 - t_mul), t_mul))
+        t_i = t_mul**i * t_initial
+        t_curr = t - (1 - t_mul**i) / (1 - t_mul) * t_initial
+    else:
+        i = t // t_initial
+        t_i = t_initial
+        t_curr = t - t_initial * i
+    return i, t_i, t_curr
 
-    def sched(epoch: int) -> float:
-        if epoch < warmup_epochs:
-            t = epoch / max(warmup_epochs, 1)
-            return warmup_lr_init + t * (base_lr - warmup_lr_init)
-        return fn(epoch - warmup_epochs)
 
-    return sched
+def _add_noise(lr: float, t: int, noise_range, noise_pct: float,
+               noise_std: float, noise_seed: int, noise_type: str) -> float:
+    """Seeded per-epoch lr noise (scheduler.py:87-105): normal (resampled into
+    the pct bound) or uniform, multiplicative (lr + lr*noise)."""
+    if noise_range is None:
+        return lr
+    if isinstance(noise_range, (list, tuple)):
+        apply = noise_range[0] <= t < noise_range[1]
+    else:
+        apply = t >= noise_range
+    if not apply:
+        return lr
+    rng = np.random.RandomState(noise_seed + t)
+    if noise_type == "normal":
+        while True:
+            noise = float(rng.randn()) * noise_std
+            if abs(noise) < noise_pct:
+                break
+    else:
+        noise = 2 * (float(rng.rand()) - 0.5) * noise_pct
+    return lr + lr * noise
 
 
 def create_scheduler(
@@ -45,44 +72,66 @@ def create_scheduler(
     warmup_epochs: int = 0,
     warmup_lr_init: float = 1e-6,
     cycle_limit: int = 1,
-    noise_pct: float = 0.0,
+    cycle_mul: float = 1.0,
+    noise_range=None,
+    noise_pct: float = 0.67,
+    noise_std: float = 1.0,
     noise_seed: int = 42,
+    noise_type: str = "normal",
 ) -> Schedule:
     sched = sched.lower()
+    t_initial = max(epochs, 1)
+
     if sched == "step":
-        def base(e):
-            return base_lr * (decay_rate ** (e // decay_epochs))
+        def base(t):
+            return base_lr * (decay_rate ** (t // decay_epochs))
+
+        warmup_target = base_lr
     elif sched == "multistep":
         milestones = sorted(decay_milestones or [])
 
-        def base(e):
-            k = sum(1 for m in milestones if e >= m)
+        def base(t):
+            k = sum(1 for m in milestones if t >= m)
             return base_lr * (decay_rate**k)
-    elif sched == "cosine":
-        t_max = max(epochs - warmup_epochs, 1)
 
-        def base(e):
-            e_c = e % t_max if cycle_limit != 1 else min(e, t_max)
-            return min_lr + 0.5 * (base_lr - min_lr) * (1 + math.cos(math.pi * e_c / t_max))
+        warmup_target = base_lr
+    elif sched == "cosine":
+        def base(t):
+            i, t_i, t_curr = _cycle(t, t_initial, cycle_mul)
+            if cycle_limit == 0 or i < cycle_limit:
+                gamma = decay_rate**i
+                lo = min_lr * gamma
+                hi = base_lr * gamma
+                return lo + 0.5 * (hi - lo) * (1 + math.cos(math.pi * t_curr / t_i))
+            return min_lr
+
+        warmup_target = base_lr
     elif sched == "tanh":
-        t_max = max(epochs - warmup_epochs, 1)
         lb, ub = -6.0, 4.0
 
-        def base(e):
-            t = min(e, t_max) / t_max
-            return min_lr + 0.5 * (base_lr - min_lr) * (1 - math.tanh(lb + t * (ub - lb)))
+        def base(t):
+            i, t_i, t_curr = _cycle(t, t_initial, cycle_mul)
+            if cycle_limit == 0 or i < cycle_limit:
+                gamma = decay_rate**i
+                lo = min_lr * gamma
+                hi = base_lr * gamma
+                tr = t_curr / t_i
+                return lo + 0.5 * (hi - lo) * (1 - math.tanh(lb * (1.0 - tr) + ub * tr))
+            return min_lr
+
+        # tanh warmup ramps to the tanh value AT warmup_t (tanh_lr.py:59-63)
+        warmup_target = base(warmup_epochs) if warmup_epochs else base_lr
     else:
         raise ValueError(f"unknown scheduler {sched!r} (plateau uses PlateauScheduler)")
 
-    fn = _with_warmup(base, warmup_epochs, warmup_lr_init, base_lr)
-    if noise_pct > 0:
-        rng = np.random.RandomState(noise_seed)
-        noise = {e: 1.0 + noise_pct * (2 * rng.rand() - 1) for e in range(epochs + 1)}
+    def fn(t: int) -> float:
+        if warmup_epochs and t < warmup_epochs:
+            lr = warmup_lr_init + t * (warmup_target - warmup_lr_init) / warmup_epochs
+        else:
+            lr = base(t)
+        return _add_noise(lr, t, noise_range, noise_pct, noise_std,
+                          noise_seed, noise_type)
 
-        def noisy(e):
-            return fn(e) * noise.get(e, 1.0)
-
-        return noisy
     return fn
 
 

@@ -1,5 +1,6 @@
 """Tests for the utility layer + optimizer/scheduler/loss factories + use_pre."""
 
+import math
 import os
 
 import numpy as np
@@ -105,7 +106,8 @@ class TestSchedFactory:
                              min_lr=0.0)
         assert s(0) == pytest.approx(0.0)
         assert s(1) == pytest.approx(0.5)
-        assert s(2) == pytest.approx(1.0)  # cosine start
+        # warmup_prefix=False (timm default): cosine evaluated at raw t
+        assert s(2) == pytest.approx(0.5 * (1 + math.cos(math.pi * 2 / 10)))
         assert s(10) < 0.05
 
     def test_tanh_monotone(self):
@@ -248,3 +250,45 @@ class TestOptimizerReferenceParity:
                               momentum=0.9, eps=kw.get("eps", 1e-8))
         got = self._optax_traj(tx, w0, grads)
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+class TestSchedulerReferenceParity:
+    """Epoch-lr trajectory parity vs the vendored timm schedulers."""
+
+    @staticmethod
+    def _ref_sched(cls_name, **kw):
+        TestOptimizerReferenceParity._setup_ref()
+        import torch
+
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=kw.pop("base_lr"))
+        if cls_name == "cosine":
+            from timm.scheduler.cosine_lr import CosineLRScheduler
+            return CosineLRScheduler(opt, **kw)
+        if cls_name == "tanh":
+            from timm.scheduler.tanh_lr import TanhLRScheduler
+            return TanhLRScheduler(opt, **kw)
+        from timm.scheduler.step_lr import StepLRScheduler
+        return StepLRScheduler(opt, **kw)
+
+    @pytest.mark.parametrize("case", [
+        ("cosine", dict(t_initial=30, lr_min=1e-5, decay_rate=0.5, warmup_t=3,
+                        warmup_lr_init=1e-6, cycle_limit=2),
+         dict(epochs=30, min_lr=1e-5, decay_rate=0.5, warmup_epochs=3,
+              warmup_lr_init=1e-6, cycle_limit=2)),
+        ("tanh", dict(t_initial=25, lr_min=1e-4, warmup_t=4, warmup_lr_init=1e-6,
+                      cycle_limit=1),
+         dict(epochs=25, min_lr=1e-4, decay_rate=1.0, warmup_epochs=4,
+              warmup_lr_init=1e-6, cycle_limit=1)),
+        ("step", dict(decay_t=10, decay_rate=0.3, warmup_t=2, warmup_lr_init=1e-6),
+         dict(epochs=40, decay_epochs=10, decay_rate=0.3, warmup_epochs=2,
+              warmup_lr_init=1e-6)),
+    ])
+    def test_epoch_lr_trajectories(self, case):
+        name, ref_kw, my_kw = case
+        ref = self._ref_sched(name, base_lr=0.1, **ref_kw)
+        mine = create_scheduler(name, 0.1, **my_kw)
+        for epoch in range(60):
+            want = ref.get_epoch_values(epoch)[0]
+            got = mine(epoch)
+            assert got == pytest.approx(want, rel=1e-6), (name, epoch, got, want)

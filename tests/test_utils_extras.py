@@ -292,3 +292,43 @@ class TestSchedulerReferenceParity:
             want = ref.get_epoch_values(epoch)[0]
             got = mine(epoch)
             assert got == pytest.approx(want, rel=1e-6), (name, epoch, got, want)
+
+
+class TestLossReferenceParity:
+    """Loss values vs the vendored timm loss classes (timm/loss/)."""
+
+    def test_label_smoothing_and_soft_target(self):
+        TestOptimizerReferenceParity._setup_ref()
+        from timm.loss import LabelSmoothingCrossEntropy, SoftTargetCrossEntropy
+
+        torch.manual_seed(2)
+        logits = torch.randn(8, 5)
+        labels = torch.randint(0, 5, (8,))
+        want = LabelSmoothingCrossEntropy(0.1)(logits, labels).item()
+        got = float(label_smoothing_cross_entropy(
+            jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()), 0.1))
+        assert got == pytest.approx(want, rel=1e-5)
+
+        onehot = torch.nn.functional.one_hot(labels, 5).float()
+        mixed = 0.7 * onehot + 0.3 * onehot.roll(1, 0)
+        want2 = SoftTargetCrossEntropy()(logits, mixed).item()
+        got2 = float(soft_target_cross_entropy(
+            jnp.asarray(logits.numpy()), jnp.asarray(mixed.numpy())))
+        assert got2 == pytest.approx(want2, rel=1e-5)
+
+    def test_jsd(self):
+        TestOptimizerReferenceParity._setup_ref()
+        from timm.loss import JsdCrossEntropy
+
+        torch.manual_seed(3)
+        clean = torch.randn(4, 6)
+        aug1 = torch.randn(4, 6)
+        aug2 = torch.randn(4, 6)
+        labels = torch.tensor([0, 1, 2, 3])
+        ref_loss = JsdCrossEntropy(num_splits=3, alpha=12, smoothing=0.1)
+        want = ref_loss(torch.cat([clean, aug1, aug2]), labels.repeat(3)).item()
+        got = float(jsd_cross_entropy(
+            jnp.asarray(clean.numpy()), jnp.asarray(aug1.numpy()),
+            jnp.asarray(aug2.numpy()), jnp.asarray(labels.numpy()),
+            alpha=12.0, smoothing=0.1))
+        assert got == pytest.approx(want, rel=1e-4)

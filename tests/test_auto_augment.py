@@ -67,18 +67,9 @@ class TestReferenceTableParity:
     def _ref_mod():
         import sys
 
-        import collections.abc
+        from test_models import install_reference_stubs
 
-        from test_models import _stub_module
-
-        tv = _stub_module("torchvision")
-        tf = _stub_module("torchvision.transforms")
-        _stub_module("torchvision.transforms.functional")
-        tv.transforms = tf
-        _stub_module("torch._six", container_abcs=collections.abc,
-                     int_classes=int, string_classes=str)
-        if "/root/reference" not in sys.path:
-            sys.path.insert(0, "/root/reference")
+        install_reference_stubs()
         from timm.data import auto_augment as ref_aa
         return ref_aa
 

@@ -226,23 +226,14 @@ class TestRiseReferenceParity:
 def test_pointing_game_matches_reference():
     """Hit/miss decisions identical to torchray's PointingGame
     (pointing_game.py:35-127) over random masks/points."""
-    import sys
-
     import torch
 
-    from test_models import _stub_module
+    from test_models import _stub_module, install_reference_stubs
 
-    tv = _stub_module("torchvision")
-    ds = _stub_module("torchvision.datasets",
-                      VOCDetection=type("V", (object,), {}),
-                      CocoDetection=type("C", (object,), {}),
-                      ImageFolder=type("IF", (object,), {}))
-    md = _stub_module("torchvision.models")
-    tf = _stub_module("torchvision.transforms")
-    _stub_module("torchvision.transforms.functional")
-    tv.datasets, tv.models, tv.transforms = ds, md, tf
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    install_reference_stubs()
+    import torchvision
+
+    torchvision.models = _stub_module("torchvision.models")
     from torchray.benchmark.pointing_game import PointingGame as RefPG
 
     from scouter_tpu.explain.pointing_game import PointingGame

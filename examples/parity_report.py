@@ -1,0 +1,296 @@
+"""Cross-framework explanation-parity harness: heatmap IoU + top-1 deltas.
+
+Measures the north-star contract's unmeasured half (BASELINE.json: "top-1
+accuracy and attention-map IoU parity"): starting from IDENTICAL weights, train
+the torch reference SlotModel (imported from /root/reference) and this
+framework side by side on the SAME batch stream, then push probe images through
+both sides' test.py flows —
+
+- torch side: the reference's own vis path (``sloter/utils/slot_attention.py:
+  68-85`` writes slot_{id}.png during forward; ``test.py:33-38`` resizes them
+  bilinear to the raw image size),
+- our side: ``explain.vis.attention_to_maps`` + the same resize,
+
+and report per-class heatmap IoU (binary @64/128/192 + soft) and top-1
+prediction agreement.
+
+Data: synthetic gaussian stream by default (the environment has no datasets on
+disk — every number printed is then labeled SYNTHETIC), or point --data_dir at
+a real MNIST/ConText/ImageNet directory to run the identical harness on real
+images.
+
+Usage:
+    python examples/parity_report.py                       # quick synthetic run
+    python examples/parity_report.py --steps 30 --probes 8
+    python examples/parity_report.py --dataset MNIST --data_dir /path/to/mnist
+
+Needs the reference checkout at /root/reference (uses the dependency stubs in
+tests/test_models.py). This is a development/verification tool, not part of the
+installable framework; the pure metric functions live in
+``scouter_tpu.explain.parity``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+# Parity runs compare fp32 math against torch CPU: force the CPU backend and
+# true-fp32 matmuls (the TPU backend would run matmuls in bf16 and the
+# comparison would measure precision, not correctness).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+@contextlib.contextmanager
+def _chdir(path):
+    old = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(old)
+
+
+def make_batches(cfg, n_batches, seed, data_dir=None, split="train"):
+    """(image NHWC float32 already-normalized, label) batches, identical for
+    both frameworks. Synthetic unless data_dir points at a real dataset."""
+    rng = np.random.RandomState(seed)
+    if data_dir is None:
+        return [
+            (
+                rng.randn(cfg.batch_size, cfg.img_size, cfg.img_size, 3).astype(np.float32),
+                rng.randint(0, cfg.num_classes, cfg.batch_size),
+            )
+            for _ in range(n_batches)
+        ], True
+    # real data: reuse the framework loader, feed the SAME post-transform
+    # arrays to both frameworks
+    import dataclasses
+
+    from scouter_tpu.data import select_dataset
+    from scouter_tpu.data.transforms import preprocess_batch
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(cfg, dataset_dir=data_dir)
+    ds = select_dataset(cfg, train=(split == "train"))
+    if len(ds) == 0:
+        raise SystemExit(
+            f"--data_dir {data_dir!r} yielded an empty {cfg.dataset} {split} "
+            f"split — check the directory layout"
+        )
+    idx = rng.permutation(len(ds))
+    batches = []
+    for b in range(n_batches):
+        sel = idx[b * cfg.batch_size:(b + 1) * cfg.batch_size]
+        imgs = np.stack([np.asarray(ds.images[i]) for i in sel])
+        labels = np.asarray([int(ds.labels[i]) for i in sel])
+        x = np.asarray(preprocess_batch(jnp.asarray(imgs), dataset=cfg.dataset,
+                                        img_size=cfg.img_size))
+        batches.append((x.astype(np.float32), labels))
+    return batches, False
+
+
+def run_parity(cfg, steps=8, probes=4, val_batches=2, seed=0, lr=1e-4,
+               data_dir=None, out_dir=None):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    # (the TPU plugin may force jax_platforms at import; the update wins)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.explain.parity import (
+        format_iou_table, iou_table, resize_map_bilinear,
+    )
+    from scouter_tpu.explain.vis import attention_to_maps
+    from scouter_tpu.models import build_slot_model, torch_state_dict_to_variables
+    from scouter_tpu.train.state import create_train_state
+    from scouter_tpu.train.steps import make_train_step
+
+    from test_models import install_reference_stubs  # tests/ on sys.path
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+
+    if probes < 1 or val_batches < 1 or steps < 1:
+        raise SystemExit("--steps, --probes and --val_batches must all be >= 1")
+    train_batches, synthetic = make_batches(cfg, steps, seed, data_dir, "train")
+    val_data, _ = make_batches(cfg, val_batches, seed + 1, data_dir, "val")
+    probe_imgs = np.concatenate([b[0] for b in val_data])[:probes]
+
+    # ---- identical initial weights
+    torch.manual_seed(seed)
+    ref = _make_ref_slot_model(cfg)
+    variables = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in ref.state_dict().items()}
+    )
+
+    # ---- torch reference training (AdamW as train.py:146-148)
+    ref.train()
+    opt = torch.optim.AdamW(ref.parameters(), lr=lr)
+    torch_losses = []
+    for x, y in train_batches:
+        opt.zero_grad()
+        _, loss_list = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(np.asarray(y)))
+        loss_list[0].backward()
+        opt.step()
+        torch_losses.append(float(loss_list[0].detach()))
+
+    # ---- framework training, same stream
+    model = build_slot_model(cfg)
+    state, tx = create_train_state(variables, lr)
+    step = make_train_step(model, tx, cfg.lambda_value, donate=False)
+    jax_losses = []
+    for x, y in train_batches:
+        state, metrics = step(state, {"image": jnp.asarray(x), "label": jnp.asarray(y)})
+        jax_losses.append(float(metrics["loss"]))
+
+    # ---- top-1 comparison on val stream
+    ref.eval()
+    agree = total = 0
+    ref_correct = jax_correct = 0
+    for x, y in val_data:
+        with torch.no_grad():
+            ref_pred = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).argmax(1).numpy()
+        out = model.apply(state.variables(), jnp.asarray(x))
+        jax_pred = np.asarray(out["logits"]).argmax(1)
+        agree += int((ref_pred == jax_pred).sum())
+        ref_correct += int((ref_pred == y).sum())
+        jax_correct += int((jax_pred == y).sum())
+        total += len(y)
+
+    # ---- per-class slot maps via both test.py flows, probe-by-probe
+    reports = []
+    out_size = (cfg.img_size, cfg.img_size)
+    for p in range(len(probe_imgs)):
+        x1 = probe_imgs[p:p + 1]
+        # torch: the reference's own vis path (PNG side effects in ./sloter/vis)
+        ref.slot.vis, ref.slot.vis_id = True, 0
+        with tempfile.TemporaryDirectory() as td, _chdir(td):
+            os.makedirs("sloter/vis", exist_ok=True)
+            with torch.no_grad(), contextlib.redirect_stdout(open(os.devnull, "w")):
+                ref(torch.from_numpy(x1.transpose(0, 3, 1, 2)))
+            from PIL import Image
+            ref_maps = [
+                resize_map_bilinear(
+                    np.array(Image.open(f"sloter/vis/slot_{c}.png"), np.uint8),
+                    out_size,
+                )
+                for c in range(cfg.num_classes)
+            ]
+        ref.slot.vis = False
+        # ours: attention returned from forward, rendered host-side
+        out = model.apply(state.variables(), jnp.asarray(x1))
+        maps = attention_to_maps(np.asarray(out["attn"])[0],
+                                 cfg.num_classes, cfg.slots_per_class)
+        our_maps = [resize_map_bilinear(m, out_size) for m in maps]
+        reports.append(iou_table(ref_maps, our_maps))
+
+    mean_keys = reports[0]["mean"].keys()
+    agg = {
+        "per_class": [
+            {
+                "class": c,
+                **{
+                    k: float(np.mean([r["per_class"][c][k] for r in reports]))
+                    for k in mean_keys
+                },
+            }
+            for c in range(cfg.num_classes)
+        ],
+        "mean": {
+            k: float(np.mean([r["mean"][k] for r in reports])) for k in mean_keys
+        },
+    }
+
+    result = {
+        "config": {
+            "model": cfg.model, "dataset": cfg.dataset,
+            "num_classes": cfg.num_classes, "slots_per_class": cfg.slots_per_class,
+            "loss_status": cfg.loss_status, "img_size": cfg.img_size,
+            "steps": steps, "probes": len(probe_imgs), "lr": lr,
+        },
+        "data": "SYNTHETIC (gaussian stream; no dataset on disk)" if synthetic
+                else f"real ({data_dir})",
+        "loss_trajectory": {
+            "torch": torch_losses, "jax": jax_losses,
+            "max_abs_delta": float(np.max(np.abs(np.array(torch_losses)
+                                                 - np.array(jax_losses)))),
+        },
+        "top1": {
+            "agreement": agree / total,
+            "torch_acc": ref_correct / total,
+            "jax_acc": jax_correct / total,
+            "n": total,
+        },
+        "heatmap_iou": agg,
+    }
+
+    print(f"\n=== Explanation-parity report ({result['data']}) ===")
+    print(f"model={cfg.model} classes={cfg.num_classes} spc={cfg.slots_per_class} "
+          f"loss_status={cfg.loss_status} steps={steps}")
+    print(f"loss trajectory max |Δ|: {result['loss_trajectory']['max_abs_delta']:.5f}")
+    print(f"top-1 agreement: {agree}/{total} = {result['top1']['agreement']:.4f} "
+          f"(torch acc {result['top1']['torch_acc']:.4f}, "
+          f"jax acc {result['top1']['jax_acc']:.4f})")
+    print("\nheatmap IoU (mean over probes):")
+    print(format_iou_table(agg))
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"\nwritten: {os.path.join(out_dir, 'parity_report.json')}")
+    return result
+
+
+def main(argv=None):
+    from scouter_tpu.core import ScouterConfig
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--model", default="resnet18")
+    ap.add_argument("--dataset", default="ImageNet")
+    ap.add_argument("--num_classes", type=int, default=4)
+    ap.add_argument("--channel", type=int, default=512)
+    ap.add_argument("--slots_per_class", type=int, default=2)
+    ap.add_argument("--loss_status", type=int, default=1)
+    ap.add_argument("--power", type=int, default=2)
+    ap.add_argument("--to_k_layer", type=int, default=1)
+    ap.add_argument("--lambda_value", type=float, default=1.0)
+    ap.add_argument("--img_size", type=int, default=288)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--probes", type=int, default=4)
+    ap.add_argument("--val_batches", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data_dir", default=None,
+                    help="real dataset root; omit for the synthetic stream")
+    ap.add_argument("--out_dir", default=None)
+    ns = ap.parse_args(argv)
+
+    cfg = ScouterConfig(
+        model=ns.model, dataset=ns.dataset, num_classes=ns.num_classes,
+        channel=ns.channel, use_slot=True, slots_per_class=ns.slots_per_class,
+        power=ns.power, loss_status=ns.loss_status, to_k_layer=ns.to_k_layer,
+        lambda_value=ns.lambda_value, img_size=ns.img_size,
+        batch_size=ns.batch_size, pre_trained=False, freeze_layers=0,
+    )
+    run_parity(cfg, steps=ns.steps, probes=ns.probes, val_batches=ns.val_batches,
+               seed=ns.seed, lr=ns.lr, data_dir=ns.data_dir, out_dir=ns.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""North-star explanation parity: heatmap IoU + top-1 agreement between the
+torch reference's test.py flow and this framework, from identical weights and
+an identical (synthetic) training stream.
+
+BASELINE.json north_star requires "top-1 accuracy and attention-map IoU
+parity"; this is the executable form of that contract. The full harness (also
+usable against real dataset directories) is examples/parity_report.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+from scouter_tpu.core import ScouterConfig
+from scouter_tpu.explain.parity import heatmap_iou, iou_table, soft_iou
+
+
+class TestIoUMetrics:
+    def test_identical_maps(self):
+        m = np.random.RandomState(0).randint(0, 256, (9, 9)).astype(np.uint8)
+        assert heatmap_iou(m, m) == 1.0
+        assert soft_iou(m, m) == 1.0
+
+    def test_disjoint_maps(self):
+        a = np.zeros((4, 4), np.uint8)
+        b = np.zeros((4, 4), np.uint8)
+        a[:2] = 255
+        b[2:] = 255
+        assert heatmap_iou(a, b, 128) == 0.0
+        assert soft_iou(a, b) == 0.0
+
+    def test_empty_maps_agree(self):
+        z = np.zeros((4, 4), np.uint8)
+        assert heatmap_iou(z, z) == 1.0
+        assert soft_iou(z, z) == 1.0
+
+    def test_half_overlap(self):
+        a = np.zeros((4, 4), np.uint8)
+        b = np.zeros((4, 4), np.uint8)
+        a[:, :2] = 255  # cols 0-1
+        b[:, 1:3] = 255  # cols 1-2
+        assert heatmap_iou(a, b, 128) == pytest.approx(1 / 3)
+
+    def test_iou_table_shape(self):
+        maps = [np.random.RandomState(i).randint(0, 256, (9, 9)).astype(np.uint8)
+                for i in range(3)]
+        rep = iou_table(maps, maps)
+        assert len(rep["per_class"]) == 3
+        assert rep["mean"]["iou@128"] == 1.0
+        assert rep["mean"]["soft_iou"] == 1.0
+
+
+def test_end_to_end_heatmap_iou_parity():
+    """Train both frameworks 4 steps from shared weights; the rendered
+    per-class slot maps (test.py flow on both sides) must agree: mean
+    IoU@128 >= 0.9, soft IoU >= 0.9, identical top-1 predictions."""
+    from parity_report import run_parity
+
+    cfg = ScouterConfig(
+        model="resnet18", dataset="ImageNet", num_classes=3, channel=512,
+        use_slot=True, slots_per_class=2, power=2, loss_status=1,
+        to_k_layer=1, lambda_value=1.0, img_size=288, batch_size=2,
+        pre_trained=False, freeze_layers=0,
+    )
+    result = run_parity(cfg, steps=4, probes=2, val_batches=2, seed=0, lr=1e-4)
+
+    assert result["loss_trajectory"]["max_abs_delta"] < 5e-3
+    assert result["top1"]["agreement"] == 1.0
+    assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9
+    assert result["heatmap_iou"]["mean"]["soft_iou"] >= 0.9
+
+
+def test_end_to_end_heatmap_iou_parity_negative():
+    """Same contract for the negative-explanation variant (loss_status=-1)."""
+    from parity_report import run_parity
+
+    cfg = ScouterConfig(
+        model="resnet18", dataset="ImageNet", num_classes=3, channel=512,
+        use_slot=True, slots_per_class=1, power=1, loss_status=-1,
+        to_k_layer=1, lambda_value=1.0, img_size=288, batch_size=2,
+        pre_trained=False, freeze_layers=0,
+    )
+    result = run_parity(cfg, steps=3, probes=2, val_batches=1, seed=1, lr=1e-4)
+    assert result["top1"]["agreement"] == 1.0
+    assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9

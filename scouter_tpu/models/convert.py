@@ -157,8 +157,15 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
             _set(batch_stats, mod_path + ("mean",), arr)
         elif leaf_name == "running_var":
             _set(batch_stats, mod_path + ("var",), arr)
+        elif leaf_name == "v":
+            # EvoNorm gate parameter, torch shape (1,C,1,1) (evo_norm.py:62-66)
+            _set(params, mod_path + ("v",), arr.reshape(-1))
         elif leaf_name == "weight":
-            if arr.ndim == 4:  # conv OIHW -> HWIO
+            if arr.ndim == 4 and arr.shape[0] == 1 and arr.shape[2:] == (1, 1):
+                # EvoNorm affine (1,C,1,1) -> flat scale (evo_norm.py:60-61);
+                # no conv in the zoo has out_channels==1 with a 1x1 kernel
+                _set(params, mod_path + ("scale",), arr.reshape(-1))
+            elif arr.ndim == 4:  # conv OIHW -> HWIO
                 _set(params, mod_path + ("kernel",), arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 3:  # conv1d (out,in,k) -> (k,in,out)
                 _set(params, mod_path + ("kernel",), arr.transpose(2, 1, 0))
@@ -169,7 +176,8 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
             else:
                 raise ValueError(f"unexpected weight rank for {key!r}: {arr.shape}")
         elif leaf_name == "bias":
-            _set(params, mod_path + ("bias",), arr)
+            # EvoNorm biases are 4-D (1,C,1,1); everything else is 1-D
+            _set(params, mod_path + ("bias",), arr.reshape(-1) if arr.ndim == 4 else arr)
         else:
             raise KeyError(f"unrecognized torch key {key!r}")
 

@@ -273,3 +273,51 @@ def dla60_res2next(num_classes=1000, in_chans=3, **kw):
     return _dla(num_classes, in_chans, levels=(1, 1, 1, 2, 3, 1),
                 channels=(16, 32, 128, 256, 512, 1024), block="bottle2neck",
                 cardinality=8, base_width=4, **kw)
+
+
+@register_model
+def dla46x_c(num_classes=1000, in_chans=3, **kw):
+    """DLA-X-46-C (timm/models/dla.py:381-389)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 1, 2, 2, 1),
+                channels=(16, 32, 64, 64, 128, 256), block="bottleneck",
+                cardinality=32, base_width=4, **kw)
+
+
+@register_model
+def dla60x_c(num_classes=1000, in_chans=3, **kw):
+    """DLA-X-60-C (dla.py:393-401)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 1, 2, 3, 1),
+                channels=(16, 32, 64, 64, 128, 256), block="bottleneck",
+                cardinality=32, base_width=4, **kw)
+
+
+@register_model
+def dla60x(num_classes=1000, in_chans=3, **kw):
+    """DLA-X-60 (dla.py:416-424)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 1, 2, 3, 1),
+                channels=(16, 32, 128, 256, 512, 1024), block="bottleneck",
+                cardinality=32, base_width=4, **kw)
+
+
+@register_model
+def dla102x(num_classes=1000, in_chans=3, **kw):
+    """DLA-X-102 (dla.py:440-448)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 1, 3, 4, 1),
+                channels=(16, 32, 128, 256, 512, 1024), block="bottleneck",
+                cardinality=32, base_width=4, residual_root=True, **kw)
+
+
+@register_model
+def dla102x2(num_classes=1000, in_chans=3, **kw):
+    """DLA-X-102 64 (dla.py:452-460)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 1, 3, 4, 1),
+                channels=(16, 32, 128, 256, 512, 1024), block="bottleneck",
+                cardinality=64, base_width=4, residual_root=True, **kw)
+
+
+@register_model
+def dla169(num_classes=1000, in_chans=3, **kw):
+    """DLA-169 (dla.py:464-472)."""
+    return _dla(num_classes, in_chans, levels=(1, 1, 2, 3, 5, 1),
+                channels=(16, 32, 128, 256, 512, 1024), block="bottleneck",
+                residual_root=True, **kw)

@@ -136,8 +136,12 @@ class _Block(nn.Module):
 
 
 class Xception65(nn.Module):
+    """Modified Aligned Xception-65; ``deep_entry`` switches the entry flow to
+    the Xception-71 three-block Sequential (gluon_xception.py:308-360)."""
+
     num_classes: int = 1000
     in_chans: int = 3
+    deep_entry: bool = False
     drop_rate: float = 0.0
     mnist_stem: bool = False
     dtype: Optional[jnp.dtype] = None
@@ -152,7 +156,15 @@ class Xception65(nn.Module):
 
         x = _Block(64, 128, 2, 2, start_with_relu=False, dtype=d, name="block1")(x, train)
         x = relu(x)
-        x = _Block(128, 256, 2, 2, start_with_relu=False, dtype=d, name="block2")(x, train)
+        if self.deep_entry:
+            x = _Block(128, 256, 2, 1, start_with_relu=False, dtype=d,
+                       name="block2_0")(x, train)
+            x = _Block(256, 256, 2, 2, start_with_relu=False, dtype=d,
+                       name="block2_1")(x, train)
+            x = _Block(256, 728, 2, 2, start_with_relu=False, dtype=d,
+                       name="block2_2")(x, train)
+        else:
+            x = _Block(128, 256, 2, 2, start_with_relu=False, dtype=d, name="block2")(x, train)
         x = _Block(256, 728, 2, 2, is_last=True, dtype=d, name="block3")(x, train)
 
         class _Mid(nn.Module):
@@ -182,3 +194,11 @@ class Xception65(nn.Module):
 def gluon_xception65(num_classes=1000, in_chans=3, **kw):
     kw.pop("mnist_stem", None)
     return Xception65(num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def gluon_xception71(num_classes=1000, in_chans=3, **kw):
+    """Modified Aligned Xception-71 (gluon_xception.py:462-470)."""
+    kw.pop("mnist_stem", None)
+    return Xception65(num_classes=num_classes, in_chans=in_chans,
+                      deep_entry=True, **kw)

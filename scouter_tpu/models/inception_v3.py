@@ -185,3 +185,17 @@ def inception_v3(num_classes=1000, in_chans=3, **kw):
 def tf_inception_v3(num_classes=1000, in_chans=3, **kw):
     kw.pop("mnist_stem", None)
     return InceptionV3(num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def adv_inception_v3(num_classes=1000, in_chans=3, **kw):
+    """Adversarially-trained weights alias (timm inception_v3.py:549-553)."""
+    kw.pop("mnist_stem", None)
+    return InceptionV3(num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def gluon_inception_v3(num_classes=1000, in_chans=3, **kw):
+    """Gluon weights alias (timm inception_v3.py:556-561)."""
+    kw.pop("mnist_stem", None)
+    return InceptionV3(num_classes=num_classes, in_chans=in_chans, **kw)

@@ -30,6 +30,7 @@ __all__ = [
     "SplitAttnConv",
     "SqueezeExcite",
     "Eca",
+    "blur_pool",
     "drop_path",
     "torch_conv_padding",
 ]
@@ -174,7 +175,8 @@ class SplitAttnConv(nn.Module):
 
     conv (groups*radix) -> bn -> relu -> per-radix sum -> global pool -> fc1 ->
     bn -> relu -> fc2 -> radix softmax -> weighted sum over radix splits.
-    Only cardinality (groups) == 1 is exercised by the SCOUTER recipes.
+    Supports cardinality (groups) > 1 and radix 1 (sigmoid gate) for the
+    resnest50d_1s4x24d / 4s2x40d ablation variants (resnest.py:240-266).
     """
 
     out_channels: int
@@ -225,15 +227,40 @@ class SplitAttnConv(nn.Module):
                        dtype=self.dtype, name="fc2")(gap)  # (B,1,1,mid)
 
         if self.radix > 1:
-            # RadixSoftmax (split_attn.py:14-28) with cardinality==1: softmax
-            # across the radix splits, elementwise over channels.
+            # RadixSoftmax (split_attn.py:14-28): view the grouped fc2 output
+            # as (cardinality, radix, chs), softmax across radix, then apply in
+            # the TRANSPOSED (radix, cardinality, chs) flat order — the exact
+            # reshape algebra of the reference (quirk faithfully preserved).
+            attn = attn.reshape(b, self.groups, self.radix, -1)
+            attn = jax.nn.softmax(attn.transpose(0, 2, 1, 3), axis=1)
             attn = attn.reshape(b, self.radix, rc // self.radix)
-            attn = jax.nn.softmax(attn, axis=1)
             out = (x_r * attn[:, None, None, :, :]).sum(axis=3)
         else:
             attn = jax.nn.sigmoid(attn)
             out = x_r * attn
         return out
+
+
+def blur_pool(x: jnp.ndarray, stride: int = 2, filt_size: int = 3) -> jnp.ndarray:
+    """BlurPool2d (``timm/models/layers/blur_pool.py:19-60``): reflect-pad then
+    a fixed binomial depthwise filter with stride — anti-aliased downsampling.
+
+    The filter is a constant (binomial coefficients, e.g. [1,2,1]/4 outer
+    product), not a parameter — the torch module keeps it as a buffer named
+    ``filt`` which the weight converter skips.
+    """
+    coeffs = [1.0]
+    for _ in range(filt_size - 1):
+        coeffs = [0.5 * a + 0.5 * b for a, b in zip(coeffs + [0.0], [0.0] + coeffs)]
+    c = jnp.asarray(coeffs, x.dtype)
+    filt2d = c[:, None] * c[None, :]
+    pad = ((stride - 1) + (filt_size - 1)) // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    chs = x.shape[-1]
+    kernel = jnp.tile(filt2d[:, :, None, None], (1, 1, 1, chs))  # HWIO, I/g=1
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=chs)
 
 
 def drop_path(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool) -> jnp.ndarray:

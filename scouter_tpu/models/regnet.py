@@ -173,12 +173,24 @@ _REGNET_CFGS = {
     "regnetx_008": dict(w0=56, wa=35.73, wm=2.28, group_w=16, depth=16),
     "regnetx_016": dict(w0=80, wa=34.01, wm=2.25, group_w=24, depth=18),
     "regnetx_032": dict(w0=88, wa=26.31, wm=2.25, group_w=48, depth=25),
+    "regnetx_040": dict(w0=96, wa=38.65, wm=2.43, group_w=40, depth=23),
+    "regnetx_064": dict(w0=184, wa=60.83, wm=2.07, group_w=56, depth=17),
+    "regnetx_080": dict(w0=80, wa=49.56, wm=2.88, group_w=120, depth=23),
+    "regnetx_120": dict(w0=168, wa=73.36, wm=2.37, group_w=112, depth=19),
+    "regnetx_160": dict(w0=216, wa=55.59, wm=2.1, group_w=128, depth=22),
+    "regnetx_320": dict(w0=320, wa=69.86, wm=2.0, group_w=168, depth=23),
     "regnety_002": dict(w0=24, wa=36.44, wm=2.49, group_w=8, depth=13, se_ratio=0.25),
     "regnety_004": dict(w0=48, wa=27.89, wm=2.09, group_w=8, depth=16, se_ratio=0.25),
     "regnety_006": dict(w0=48, wa=32.54, wm=2.32, group_w=16, depth=15, se_ratio=0.25),
     "regnety_008": dict(w0=56, wa=38.84, wm=2.4, group_w=16, depth=14, se_ratio=0.25),
     "regnety_016": dict(w0=48, wa=20.71, wm=2.65, group_w=24, depth=27, se_ratio=0.25),
     "regnety_032": dict(w0=80, wa=42.63, wm=2.66, group_w=24, depth=21, se_ratio=0.25),
+    "regnety_040": dict(w0=96, wa=31.41, wm=2.24, group_w=64, depth=22, se_ratio=0.25),
+    "regnety_064": dict(w0=112, wa=33.22, wm=2.27, group_w=72, depth=25, se_ratio=0.25),
+    "regnety_080": dict(w0=192, wa=76.82, wm=2.19, group_w=56, depth=17, se_ratio=0.25),
+    "regnety_120": dict(w0=168, wa=73.36, wm=2.37, group_w=112, depth=19, se_ratio=0.25),
+    "regnety_160": dict(w0=200, wa=106.23, wm=2.48, group_w=112, depth=18, se_ratio=0.25),
+    "regnety_320": dict(w0=232, wa=115.89, wm=2.53, group_w=232, depth=20, se_ratio=0.25),
 }
 
 

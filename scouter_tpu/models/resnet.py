@@ -31,6 +31,7 @@ from .layers import (
     avg_pool_ceil_exclude_pad,
     avg_pool_include_pad,
     batch_norm,
+    blur_pool,
     conv2d,
     global_avg_pool,
     max_pool_3x3_s2_p1,
@@ -55,6 +56,7 @@ class _Downsample(nn.Module):
     out_channels: int
     stride: int
     avg_down: bool
+    kernel_size: int = 1  # down_kernel_size (3 for senet154, gluon_resnet.py:361)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -66,7 +68,10 @@ class _Downsample(nn.Module):
                        name="downsample_1")(x)
             x = batch_norm(train, dtype=self.dtype, name="downsample_2")(x)
         else:
-            x = conv2d(self.out_channels, 1, stride=self.stride, padding=0,
+            # stride-1 projections always use a 1x1 regardless of
+            # down_kernel_size (downsample_conv, resnet.py:277-281)
+            k = 1 if self.stride == 1 else self.kernel_size
+            x = conv2d(self.out_channels, k, stride=self.stride,
                        dtype=self.dtype, name="downsample_0")(x)
             x = batch_norm(train, dtype=self.dtype, name="downsample_1")(x)
         return x
@@ -88,24 +93,32 @@ class _BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     first_dilation: int = 1
+    reduce_first: int = 1
     has_downsample: bool = False
     avg_down: bool = False
+    down_kernel_size: int = 1
     attn: str = ""  # '' | 'se' | 'eca' (timm create_attn capability)
+    aa: bool = False  # BlurPool anti-aliasing (resnet.py:147-154)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = conv2d(self.planes, 3, stride=self.stride, padding=self.first_dilation,
-                     dilation=self.first_dilation, dtype=self.dtype, name="conv1")(x)
+        first_planes = self.planes // self.reduce_first
+        out = conv2d(first_planes, 3, stride=1 if self.aa else self.stride,
+                     padding=self.first_dilation, dilation=self.first_dilation,
+                     dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
         out = _act_relu(out)
+        if self.aa and self.stride == 2:
+            out = blur_pool(out, stride=2)
         out = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
         out = _apply_attn(self.attn, self.planes, self.dtype, out)
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
+                                   kernel_size=self.down_kernel_size,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -119,28 +132,35 @@ class _Bottleneck(nn.Module):
     first_dilation: int = 1
     cardinality: int = 1
     base_width: int = 64
+    reduce_first: int = 1  # block_reduce_first (2 for [gluon_]senet154)
     has_downsample: bool = False
     avg_down: bool = False
+    down_kernel_size: int = 1
     attn: str = ""  # '' | 'se' | 'eca' (timm create_attn capability)
+    aa: bool = False  # BlurPool anti-aliasing (resnet.py:214-225)
     widths: WidthOverrides = None  # pruned per-conv out-channels (models/pruned.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.cardinality
+        first_planes = width // self.reduce_first
         outplanes = self.planes * 4
-        c1 = width_of(self.widths, "conv1", width)
+        c1 = width_of(self.widths, "conv1", first_planes)
         c2 = width_of(self.widths, "conv2", width)
         c3 = width_of(self.widths, "conv3", outplanes)
         residual = x
         out = conv2d(c1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
         out = _act_relu(out)
-        out = conv2d(c2, 3, stride=self.stride, padding=self.first_dilation,
+        out = conv2d(c2, 3, stride=1 if self.aa else self.stride,
+                     padding=self.first_dilation,
                      dilation=self.first_dilation, groups=self.cardinality,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
         out = _act_relu(out)
+        if self.aa and self.stride == 2:
+            out = blur_pool(out, stride=2)
         out = conv2d(c3, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
         # attn modules keep the UNPRUNED channel count: the reference surgery
@@ -149,6 +169,7 @@ class _Bottleneck(nn.Module):
         out = _apply_attn(self.attn, outplanes, self.dtype, out)
         if self.has_downsample:
             residual = _Downsample(c3, self.stride, self.avg_down,
+                                   kernel_size=self.down_kernel_size,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -463,6 +484,9 @@ class ResNet(nn.Module):
     avd: bool = True
     avd_first: bool = False
     attn: str = ""  # '' | 'se' | 'eca' for basic/bottleneck blocks
+    aa: bool = False  # BlurPool anti-aliasing (resnetblur*, resnet.py:414-418)
+    reduce_first: int = 1  # block_reduce_first ([gluon_]senet154)
+    down_kernel_size: int = 1  # 3 for [gluon_]senet154
     scale: int = 4  # res2net
     sk_attn_reduction: int = 16  # sknet
     sk_min_attn_channels: int = 32
@@ -530,7 +554,13 @@ class ResNet(nn.Module):
         if start_from is None:
             x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
             x = _act_relu(x)
-            x = max_pool_3x3_s2_p1(x)
+            if self.aa:
+                # stem pooling becomes maxpool(s1) + anti-aliased downsample
+                # (resnet.py:414-418)
+                x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+                x = blur_pool(x, stride=2)
+            else:
+                x = max_pool_3x3_s2_p1(x)
 
         # ---- Stages
         block_cls = _BLOCKS[self.block]
@@ -556,7 +586,9 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                 )
                 if self.block in ("basic", "bottleneck"):
-                    kwargs.update(attn=self.attn)
+                    kwargs.update(attn=self.attn, aa=self.aa,
+                                  reduce_first=self.reduce_first,
+                                  down_kernel_size=self.down_kernel_size)
                 if self.block == "bottleneck" and self.widths:
                     kwargs.update(widths=scope_widths(
                         self.widths, f"layer{stage_idx}.{block_idx}"))

@@ -60,6 +60,12 @@ class _Block(nn.Module):
 
 # (skip_chs, mid_chs, out_chs, is_first, stride) per block; head: (out, k, stride)
 _CONFIGS = {
+    "selecsls42": (
+        [(0, 64, 64, True, 2), (64, 64, 128, False, 1),
+         (0, 144, 144, True, 2), (144, 144, 288, False, 1),
+         (0, 304, 304, True, 2), (304, 304, 480, False, 1)],
+        [(960, 3, 2), (1024, 3, 1), (1024, 3, 2), (1280, 1, 1)],
+    ),
     "selecsls42b": (
         [(0, 64, 64, True, 2), (64, 64, 128, False, 1),
          (0, 144, 144, True, 2), (144, 144, 288, False, 1),
@@ -119,6 +125,12 @@ class SelecSLS(nn.Module):
 def _selecsls(variant, num_classes, in_chans, **kw):
     kw.pop("mnist_stem", None)
     return SelecSLS(variant=variant, num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def selecsls42(num_classes=1000, in_chans=3, **kw):
+    """SelecSLS42 (timm/models/selecsls.py:181-209 'else' head)."""
+    return _selecsls("selecsls42", num_classes, in_chans, **kw)
 
 
 @register_model

@@ -244,3 +244,19 @@ def senet154(num_classes=1000, in_chans=3, **kw):
     return SENet(block_kind="senet154", layers=(3, 8, 36, 3), groups=64, reduction=16,
                  inplanes=128, input_3x3=True, down_kernel=3, down_padding=1,
                  num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def seresnet152(num_classes=1000, in_chans=3, **kw):
+    """SE-ResNet-152 (timm/models/senet.py:452-461)."""
+    kw.pop("mnist_stem", None)
+    return SENet(block_kind="bottleneck", layers=(3, 8, 36, 3), groups=1, reduction=16,
+                 num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def seresnext101_32x4d(num_classes=1000, in_chans=3, **kw):
+    """SE-ResNeXt-101 32x4d (timm/models/senet.py:502-511)."""
+    kw.pop("mnist_stem", None)
+    return SENet(block_kind="next", layers=(3, 4, 23, 3), groups=32, reduction=16,
+                 base_width=4, num_classes=num_classes, in_chans=in_chans, **kw)

@@ -213,3 +213,26 @@ def tresnet_xl(num_classes=1000, in_chans=3, **kw):
     kw.pop("mnist_stem", None)
     return TResNet(layers=(4, 5, 24, 3), width_factor=1.3, num_classes=num_classes,
                    in_chans=in_chans, **kw)
+
+
+@register_model
+def tresnet_m_448(num_classes=1000, in_chans=3, **kw):
+    """448px-eval weights twin of tresnet_m (timm tresnet.py:323-329)."""
+    kw.pop("mnist_stem", None)
+    return TResNet(layers=(3, 4, 11, 3), num_classes=num_classes, in_chans=in_chans, **kw)
+
+
+@register_model
+def tresnet_l_448(num_classes=1000, in_chans=3, **kw):
+    """448px-eval weights twin of tresnet_l (tresnet.py:333-339)."""
+    kw.pop("mnist_stem", None)
+    return TResNet(layers=(4, 5, 18, 3), width_factor=1.2, num_classes=num_classes,
+                   in_chans=in_chans, **kw)
+
+
+@register_model
+def tresnet_xl_448(num_classes=1000, in_chans=3, **kw):
+    """448px-eval weights twin of tresnet_xl (tresnet.py:343-349)."""
+    kw.pop("mnist_stem", None)
+    return TResNet(layers=(4, 5, 24, 3), width_factor=1.3, num_classes=num_classes,
+                   in_chans=in_chans, **kw)

@@ -104,29 +104,43 @@ def gradcampp(model, variables, x, class_idx: int, normalized: bool = True):
     return _combine(feats, weights, relu=True, normalized=normalized)
 
 
-def smooth_gradcampp(model, variables, x, class_idx: int, key,
-                     num_samples: int = 4, std: float = 0.3, normalized: bool = True):
+def smooth_gradcampp(model, variables, x, class_idx: int, key=None,
+                     num_samples: int = 4, std: float = 0.3, normalized: bool = True,
+                     noise=None):
     """Smooth Grad-CAM++ (gradcam.py:162-274): gradient moments averaged over
     noisy inputs; the ReLU-gradient factor uses the last sample's gradient
-    (reference quirk, gradcam.py:268-271)."""
+    (reference quirk, gradcam.py:268-271).
+
+    ``noise``: optional pre-drawn (num_samples, 1, H, W, C) perturbations.
+    Injecting the same samples into the reference enables exact parity checks
+    despite the in-loop RNG (same technique as the RISE shared-mask test)."""
     features, head, _ = backbone_split(model, variables)
     init_feats = features(x)
 
-    def sample_grad(k):
-        noisy = x + std * jax.random.normal(k, x.shape)
-        feats_n = features(noisy)
+    if noise is None:
+        keys = jax.random.split(key, num_samples)
+        noise = std * jax.vmap(lambda k: jax.random.normal(k, x.shape))(keys)
+    else:
+        noise = jnp.asarray(noise)
+        num_samples = noise.shape[0]
+
+    def sample_grad(n):
+        feats_n = features(x + n)
         g = jax.grad(lambda f: head(f)[0, class_idx])(feats_n)
         return g
 
-    keys = jax.random.split(key, num_samples)
-    grads = jax.lax.map(sample_grad, keys)  # (n, 1, h, w, K)
+    grads = jax.lax.map(sample_grad, noise)  # (n, 1, h, w, K)
     g2 = (grads**2).mean(axis=0)
     g3 = (grads**3).mean(axis=0)
     last_g = grads[-1]
     denom = 2.0 * g2 + (g3 * init_feats).sum(axis=(1, 2), keepdims=True)
     alpha = g2 / denom
     weights = (alpha[0] * jax.nn.relu(last_g[0])).sum(axis=(0, 1))
-    return _combine(init_feats, weights, relu=True, normalized=normalized)
+    # reference quirk: the hooked activation is overwritten by each noisy
+    # forward, so compute_cams (cam.py:103) combines with the LAST noisy
+    # sample's feature map, not the clean one
+    last_feats = features(x + noise[-1])
+    return _combine(last_feats, weights, relu=True, normalized=normalized)
 
 
 def _normalize_channels(feats: jnp.ndarray) -> jnp.ndarray:
@@ -174,20 +188,28 @@ def scorecam(model, variables, x, class_idx: int, batch_size: int = 32,
     return _combine(norm_feats, weights, relu=True, normalized=normalized)
 
 
-def sscam(model, variables, x, class_idx: int, key, batch_size: int = 32,
-          num_samples: int = 35, std: float = 2.0, normalized: bool = True):
+def sscam(model, variables, x, class_idx: int, key=None, batch_size: int = 32,
+          num_samples: int = 35, std: float = 2.0, normalized: bool = True,
+          noise=None):
     """SS-CAM (cam.py:260-358): noise added to the mask before multiplying.
-    Same in-place-normalization quirk as scorecam (cam.py:330-333)."""
+    Same in-place-normalization quirk as scorecam (cam.py:330-333).
+
+    ``noise``: optional pre-drawn (num_samples, H, W, C) perturbations for
+    exact parity against the reference's in-loop RNG (see smooth_gradcampp)."""
     features, _, forward = backbone_split(model, variables)
     norm_feats = _normalize_channels(features(x))
     masks = _channel_masks(norm_feats, x)
 
-    def one(k):
-        noise = std * jax.random.normal(k, x[0].shape)
-        return _masked_scores(forward, x[0] * (masks + noise), class_idx, batch_size)
+    if noise is None:
+        keys = jax.random.split(key, num_samples)
+        noise = std * jax.vmap(lambda k: jax.random.normal(k, x[0].shape))(keys)
+    else:
+        noise = jnp.asarray(noise)
 
-    keys = jax.random.split(key, num_samples)
-    weights = jax.lax.map(one, keys).mean(axis=0)
+    def one(n):
+        return _masked_scores(forward, x[0] * (masks + n), class_idx, batch_size)
+
+    weights = jax.lax.map(one, noise).mean(axis=0)
     return _combine(norm_feats, weights, relu=True, normalized=normalized)
 
 

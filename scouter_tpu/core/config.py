@@ -84,6 +84,10 @@ class ScouterConfig:
     # TPU parallelism (replaces world_size/local_rank/dist_url)
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (num_devices,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # True (default): BN statistics over the GLOBAL batch (plain jit over the
+    # sharded batch — better numerics). False: per-replica BN via shard_map,
+    # matching the reference's DDP semantics (BN never synced, train.py:139-141).
+    sync_bn: bool = True
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     seed: int = 0
 
@@ -141,6 +145,9 @@ def get_args_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--mesh_shape", default=None, type=str,
                    help="comma list, e.g. '8' or '4,2' (data[,model])")
+    p.add_argument("--sync_bn", default=True, type=str2bool,
+                   help="True: global-batch BN stats; False: per-replica BN "
+                        "(reference DDP semantics)")
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--seed", default=0, type=int)
     return p

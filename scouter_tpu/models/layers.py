@@ -79,8 +79,11 @@ def batch_norm(train: bool, *, eps: float = 1e-5, dtype=None, name: str) -> nn.B
     """BatchNorm with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5; the
     pruned efficientnets use the TF default eps 1e-3, efficientnet.py:1256-1258).
 
-    Per-replica statistics only (no cross-device axis_name) — matching the
-    reference's DDP behavior where BN is never synced (SURVEY.md §7 hard part 5).
+    No cross-device axis_name: statistics are computed over whatever batch the
+    surrounding program presents. Under a plain jit over a data-sharded batch
+    that is the GLOBAL batch (sync-BN); under the shard_map train step
+    (``train/steps.py sync_bn=False``) it is the LOCAL shard — the reference's
+    DDP behavior where BN is never synced (SURVEY.md §7 hard part 5).
     """
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=eps, dtype=dtype, name=name

@@ -87,7 +87,8 @@ class Trainer:
         self.state, self.tx = create_train_state(
             variables, cfg.lr, freeze_layers=cfg.freeze_layers, pre_trained=cfg.pre_trained
         )
-        self.train_step = make_train_step(self.model, self.tx, float(cfg.lambda_value))
+        self.train_step = make_train_step(self.model, self.tx, float(cfg.lambda_value),
+                                           mesh=self.mesh, sync_bn=cfg.sync_bn)
         self.eval_step = make_eval_step(self.model, float(cfg.lambda_value))
         self.log = MetricLog()
         self.start_epoch = cfg.start_epoch
@@ -99,7 +100,8 @@ class Trainer:
             variables, self.cfg.lr,
             freeze_layers=self.cfg.freeze_layers, pre_trained=self.cfg.pre_trained,
         )
-        self.train_step = make_train_step(self.model, self.tx, float(self.cfg.lambda_value))
+        self.train_step = make_train_step(self.model, self.tx, float(self.cfg.lambda_value),
+                                           mesh=self.mesh, sync_bn=self.cfg.sync_bn)
 
     def maybe_use_pre(self) -> None:
         """use_pre backbone handoff (``sloter/slot_model.py:26-33``): boot the

@@ -60,14 +60,28 @@ def make_train_step(
     lambda_value: float,
     donate: bool = True,
     clip_grad: Optional[float] = None,
+    mesh=None,
+    sync_bn: bool = True,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. ``model`` is the SlotModel module.
 
     ``clip_grad`` reproduces the reference's (commented-out) clip_gradient
     helper (engine.py:55-65): elementwise clamp of gradients to [-c, c].
+
+    BN semantics under the data mesh (SURVEY §7 hard part 5):
+
+    - ``sync_bn=True`` (default): the step is a plain jit over the sharded
+      batch, so batch-norm statistics are computed over the GLOBAL batch —
+      sync-BN behavior, usually better numerics.
+    - ``sync_bn=False`` (requires ``mesh``): the step runs under shard_map on
+      the 'data' axis; each replica normalizes with its LOCAL batch statistics
+      — exactly what the reference's DDP does (BN never synced,
+      ``train.py:139-141``). Gradients are pmean'd (the DDP all-reduce), and
+      the replicated running stats take replica 0's update (rank 0 is what
+      ``save_on_master`` checkpoints, ``tools/prepare_things.py:73-75``).
     """
 
-    def train_step(state: TrainState, batch: Batch):
+    def step_body(state: TrainState, batch: Batch, per_replica: bool):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
@@ -79,19 +93,46 @@ def make_train_step(
             return losses["loss"], (losses, out, new_stats)
 
         grads, (losses, out, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if per_replica:
+            grads = jax.lax.pmean(grads, "data")
         if clip_grad is not None:
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.clip(g, -clip_grad, clip_grad), grads
             )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if per_replica and new_stats is not None:
+            # keep the state replicated: running stats follow replica 0
+            new_stats = jax.tree_util.tree_map(
+                lambda s: jax.lax.all_gather(s, "data")[0], new_stats
+            )
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats if new_stats is not None else state.batch_stats,
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        return new_state, _metrics(out, losses, batch["label"], batch.get("mask"))
+        metrics = _metrics(out, losses, batch["label"], batch.get("mask"))
+        if per_replica:
+            metrics = jax.lax.pmean(metrics, "data")
+        return new_state, metrics
+
+    if sync_bn or mesh is None:
+        def train_step(state: TrainState, batch: Batch):
+            return step_body(state, batch, per_replica=False)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        sharded = jax.shard_map(
+            functools.partial(step_body, per_replica=True),
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def train_step(state: TrainState, batch: Batch):
+            return sharded(state, batch)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

@@ -179,3 +179,105 @@ class TestOrbaxCheckpoint:
         a = jax.device_get(trainer.state.params["slot"]["initial_slots"])
         b = jax.device_get(restored.params["slot"]["initial_slots"])
         np.testing.assert_array_equal(a, b)
+
+
+class TestPerReplicaBN:
+    """sync_bn=False reproduces the reference's DDP batch-norm semantics
+    (SURVEY §7 hard part 5; VERDICT round-1 weak item 6): each replica
+    normalizes with LOCAL batch statistics, grads are pmean'd (the DDP
+    all-reduce), and the kept running stats are replica 0's (what
+    save_on_master checkpoints)."""
+
+    def _setup(self, sync_bn):
+        from scouter_tpu.train.state import create_train_state
+
+        cfg = small_cfg(sync_bn=sync_bn)
+        model = build_slot_model(cfg)
+        x = np.random.RandomState(0).randn(16, 64, 64, 1).astype(np.float32)
+        y = np.arange(16) % 10
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+        state, tx = create_train_state(variables, cfg.lr, freeze_layers=0,
+                                       pre_trained=False)
+        return cfg, model, x, y, state, tx
+
+    def test_matches_manual_per_shard_oracle(self):
+        """shard_map step == run each shard's forward/backward independently
+        (local BN), average grads, apply the optimizer once."""
+        import optax
+        from scouter_tpu.ops.losses import scouter_loss
+        from scouter_tpu.parallel import shard_batch
+
+        cfg, model, x, y, state, tx = self._setup(sync_bn=False)
+        mesh = make_mesh((8,), ("data",))
+        step = make_train_step(model, tx, 1.0, donate=False, mesh=mesh,
+                               sync_bn=False)
+        batch = shard_batch(mesh, {"image": jnp.asarray(x),
+                                   "label": jnp.asarray(y)})
+        new_state, metrics = step(state, batch)
+
+        # oracle: 8 independent local-BN shard steps on one device
+        def shard_grads(params, xs, ys):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats}, xs,
+                    train=True, mutable=["batch_stats"])
+                _, losses = scouter_loss(out["logits"], ys, out.get("area_loss"), 1.0)
+                return losses["loss"], mut["batch_stats"]
+            return jax.grad(loss_fn, has_aux=True)(params)
+
+        grads_list, stats_list = [], []
+        for i in range(8):
+            g, s = shard_grads(state.params, jnp.asarray(x[i * 2:(i + 1) * 2]),
+                               jnp.asarray(y[i * 2:(i + 1) * 2]))
+            grads_list.append(g)
+            stats_list.append(s)
+        mean_grads = jax.tree_util.tree_map(
+            lambda *gs: jnp.mean(jnp.stack(gs), axis=0), *grads_list)
+        updates, _ = tx.update(mean_grads, state.opt_state, state.params)
+        want_params = optax.apply_updates(state.params, updates)
+
+        got = jax.device_get(new_state.params)
+        want = jax.device_get(want_params)
+        flat_got = jax.tree_util.tree_leaves(got)
+        flat_want = jax.tree_util.tree_leaves(want)
+        flat_g = jax.tree_util.tree_leaves(jax.device_get(mean_grads))
+        compared = 0
+        for a, b, g in zip(flat_got, flat_want, flat_g):
+            # Adam's first step normalizes to ±lr, so fp reduction-order noise
+            # on a ~0 gradient flips the whole update; compare only elements
+            # whose gradient is meaningfully nonzero.
+            m = np.abs(g) > 1e-5
+            compared += int(m.sum())
+            np.testing.assert_allclose(a[m], b[m], rtol=2e-3, atol=3e-4)
+        assert compared > 100_000  # the check is not vacuous
+        # running stats follow replica 0
+        got_stats = jax.tree_util.tree_leaves(jax.device_get(new_state.batch_stats))
+        want_stats = jax.tree_util.tree_leaves(jax.device_get(stats_list[0]))
+        for a, b in zip(got_stats, want_stats):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def test_differs_from_global_bn_on_heterogeneous_shards(self):
+        """With shards drawn from different distributions, local-BN grads must
+        differ from global-BN grads — proving the statistics are per-replica."""
+        from scouter_tpu.parallel import shard_batch
+
+        cfg, model, x, y, state, tx = self._setup(sync_bn=False)
+        # make shard statistics wildly different
+        x = x * np.repeat(np.arange(1, 9, dtype=np.float32), 2)[:, None, None, None]
+        mesh = make_mesh((8,), ("data",))
+        batch = shard_batch(mesh, {"image": jnp.asarray(x), "label": jnp.asarray(y)})
+        local = make_train_step(model, tx, 1.0, donate=False, mesh=mesh, sync_bn=False)
+        global_ = make_train_step(model, tx, 1.0, donate=False, mesh=mesh, sync_bn=True)
+        s_local, m_local = local(state, batch)
+        s_global, m_global = global_(state, batch)
+        a = jax.device_get(jax.tree_util.tree_leaves(s_local.params)[0])
+        b = jax.device_get(jax.tree_util.tree_leaves(s_global.params)[0])
+        assert not np.allclose(a, b)
+        assert np.isfinite(m_local["loss"]) and np.isfinite(m_global["loss"])
+
+    def test_trainer_runs_with_sync_bn_false(self):
+        cfg = small_cfg(sync_bn=False)
+        mesh = make_mesh((8,), ("data",))
+        trainer = Trainer(cfg, mesh=mesh, datasets=make_datasets())
+        m = trainer.run_epoch(0, "train")
+        assert np.isfinite(m["loss"])

@@ -13,6 +13,7 @@ the captum usage):
 - igos:         IGOS integrated-gradient mask optimization + deletion/insertion
 - iba:          information bottleneck attribution (Welford stats + analyze)
 - pointing_game / benchmark: explanation-accuracy benchmarking + result store
+- benchmark_models: caffe VGG16/ResNet50 pointing-game reference models
 - vis:          per-slot heatmap rendering, jet overlays, area ratios
 - compare_cli:  torchcam_vis/captum_vis-parity side-by-side driver
 """

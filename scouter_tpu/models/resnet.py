@@ -77,12 +77,18 @@ class _Downsample(nn.Module):
         return x
 
 
-def _apply_attn(attn: str, channels: int, dtype, out):
-    """timm create_attn capability: '' | 'se' | 'eca', module named 'se'."""
+def _apply_attn(attn: str, channels: int, dtype, out, train: bool = False):
+    """timm create_attn capability ('' | 'se' | 'ese' | 'eca' | 'ceca' |
+    'cbam' | 'lcbam', layers/create_attn.py:11-37), module named 'se'."""
     if attn == "se":
         return SqueezeExcite(channels, dtype=dtype, name="se")(out)
     if attn == "eca":
         return Eca(channels, dtype=dtype, name="se")(out)
+    if attn:
+        from .extra_layers import CbamModule, create_attn
+
+        m = create_attn(attn, channels, dtype=dtype)
+        return m(out, train) if isinstance(m, CbamModule) else m(out)
     return out
 
 
@@ -115,7 +121,7 @@ class _BasicBlock(nn.Module):
         out = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
-        out = _apply_attn(self.attn, self.planes, self.dtype, out)
+        out = _apply_attn(self.attn, self.planes, self.dtype, out, train)
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    kernel_size=self.down_kernel_size,
@@ -166,7 +172,7 @@ class _Bottleneck(nn.Module):
         # attn modules keep the UNPRUNED channel count: the reference surgery
         # only rewrites nn.Conv2d, so eca's Conv1d kernel size stays derived
         # from `outplanes` (helpers.py:159-176)
-        out = _apply_attn(self.attn, outplanes, self.dtype, out)
+        out = _apply_attn(self.attn, outplanes, self.dtype, out, train)
         if self.has_downsample:
             residual = _Downsample(c3, self.stride, self.avg_down,
                                    kernel_size=self.down_kernel_size,

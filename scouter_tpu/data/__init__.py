@@ -3,10 +3,12 @@
 from .folders import load_image_list, scan_context, scan_cub200, scan_imagenet_subset
 from .mnist import load_mnist, mnist_or_synthetic, synthetic_mnist
 from .pipeline import ArrayDataset, Loader
+from .streaming import FolderDataset
 from .transforms import NORMALIZE_VALUES, augment_batch, preprocess_batch
 
 __all__ = [
     "ArrayDataset",
+    "FolderDataset",
     "Loader",
     "NORMALIZE_VALUES",
     "augment_batch",
@@ -39,5 +41,6 @@ def select_dataset(cfg, train: bool = True):
         items = tr if train else va
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
-    images, labels = load_image_list(items, staging)
-    return ArrayDataset(images, labels, cfg.dataset)
+    # lazy per-batch decode with bounded RAM (small sets become fully cached);
+    # equivalent bytes to the eager load_image_list path (tests assert this)
+    return FolderDataset(items, staging, cfg.dataset)

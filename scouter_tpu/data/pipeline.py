@@ -102,9 +102,14 @@ class Loader:
                 chunk = np.concatenate([chunk, idx[:1].repeat(self.batch_size - valid)])
             mask = np.zeros(self.batch_size, np.float32)
             mask[:valid] = 1.0
-            yield {
+            if hasattr(self.ds, "gather"):
+                # streaming folder dataset: lazy per-batch decode (O(batch) RAM)
+                image = self.ds.gather(chunk)
+            else:
                 # multithreaded native gather for uint8 stores (numpy otherwise)
-                "image": gather_items(self.ds.images, chunk),
+                image = gather_items(self.ds.images, chunk)
+            yield {
+                "image": image,
                 "label": self.ds.labels[chunk],
                 "mask": mask,
             }

@@ -124,3 +124,74 @@ class TestLoading:
         images, labels = load_mnist(str(tmp_path), train=True)
         np.testing.assert_array_equal(images, tr_x)
         np.testing.assert_array_equal(labels, tr_y)
+
+
+class TestStreamingFolderDataset:
+    """Lazy per-batch decode (VERDICT round-1 weak item 4): byte-identical to
+    the eager load_image_list path, deterministic, and RAM-bounded."""
+
+    def _make_tree(self, tmp_path, n=12, size=24):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        items = []
+        for i in range(n):
+            p = str(tmp_path / f"img_{i:03d}.png")
+            Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8)).save(p)
+            items.append((p, i % 3))
+        return items
+
+    def test_gather_matches_eager_decode(self, tmp_path):
+        from scouter_tpu.data import FolderDataset, load_image_list
+
+        items = self._make_tree(tmp_path)
+        eager_imgs, eager_labels = load_image_list(items, staging_size=16)
+        ds = FolderDataset(items, staging_size=16, dataset_name="ConText")
+        idx = np.array([3, 0, 7, 3, 11])
+        np.testing.assert_array_equal(ds.gather(idx), eager_imgs[idx])
+        np.testing.assert_array_equal(ds.labels[idx], eager_labels[idx])
+
+    def test_loader_batches_match_eager_dataset(self, tmp_path):
+        from scouter_tpu.data import ArrayDataset, FolderDataset, Loader, load_image_list
+
+        items = self._make_tree(tmp_path)
+        eager_imgs, eager_labels = load_image_list(items, staging_size=16)
+        eager = ArrayDataset(eager_imgs, eager_labels, "ConText")
+        lazy = FolderDataset(items, staging_size=16, dataset_name="ConText")
+        kw = dict(batch_size=4, img_size=16, train=True, seed=5, shard_by_host=False)
+        b_eager = list(Loader(eager, **kw).epoch(0))
+        b_lazy = list(Loader(lazy, **kw).epoch(0))
+        assert len(b_eager) == len(b_lazy) == 3
+        for a, b in zip(b_eager, b_lazy):
+            np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
+            np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]))
+
+    def test_cache_is_byte_bounded(self, tmp_path):
+        from scouter_tpu.data import FolderDataset
+
+        items = self._make_tree(tmp_path)
+        item_bytes = 16 * 16 * 3
+        ds = FolderDataset(items, staging_size=16, dataset_name="ConText",
+                           cache_bytes=3 * item_bytes)
+        ds.gather(np.arange(12))
+        assert ds.cached_bytes <= 3 * item_bytes
+        # cached entries are reused and identical
+        np.testing.assert_array_equal(ds.gather([0, 1, 2]), ds.gather([0, 1, 2]))
+
+    def test_select_dataset_returns_streaming(self, tmp_path):
+        from scouter_tpu.core import ScouterConfig
+        from scouter_tpu.data import FolderDataset, select_dataset
+
+        for i in range(4):
+            (tmp_path / f"cat_{i}.png").write_bytes(b"")  # names only
+        from PIL import Image
+
+        rng = np.random.RandomState(1)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+                str(tmp_path / f"cat_{i}.png"))
+        cfg = ScouterConfig(dataset="ConText", dataset_dir=str(tmp_path),
+                            num_classes=1, img_size=8)
+        ds = select_dataset(cfg, train=True)
+        assert isinstance(ds, FolderDataset)
+        assert ds.gather([0]).shape == (1, 260, 260, 3)

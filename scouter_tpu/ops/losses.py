@@ -19,8 +19,13 @@ __all__ = ["log_softmax_nll", "scouter_loss"]
 
 
 def log_softmax_nll(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (log_probs, mean NLL). labels: int (B,)."""
-    log_probs = jax.nn.log_softmax(logits, axis=1)
+    """Return (log_probs, mean NLL). labels: int (B,).
+
+    Logits are upcast to float32 first: under the bf16 compute path
+    (``compute_dtype='bfloat16'``) the model emits bf16 class scores, and
+    log-softmax / NLL in bf16 loses ~2 decimal digits of loss resolution —
+    the reduction is cheap, so it always runs in fp32."""
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
     nll = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=1))
     return log_probs, nll
 
@@ -39,5 +44,6 @@ def scouter_loss(
     log_probs, nll = log_softmax_nll(logits, labels)
     if area_loss is None:
         return log_probs, {"loss": nll}
+    area_loss = jnp.asarray(area_loss, jnp.float32)
     total = nll + lambda_value * area_loss
     return log_probs, {"loss": total, "log_loss": nll, "att_loss": area_loss}

@@ -7,10 +7,11 @@ residency: one kernel invocation per batch element keeps slots, keys, values,
 and all intermediates on-chip across the three iterations — zero HBM round
 trips between iterations.
 
-Gradients: the kernel is wrapped in ``jax.custom_vjp`` whose backward replays
-the pure-jnp reference implementation (ops/slot_attention.py) under ``jax.vjp``
-— identical math (same formulas, fp32), so forward speed comes from the kernel
-while training correctness is anchored to the oracle-tested jnp path.
+Gradients: the kernel checkpoints each iteration's input slots into a third
+output (``hist``), and the ``jax.custom_vjp`` backward walks the iterations in
+reverse, re-deriving one iteration's intermediates at a time from its
+checkpoint via the oracle-tested jnp formulas (ops/slot_attention.py). Total
+backward recompute is one forward's worth — no full-chain forward replay.
 
 The key projection ``to_k`` stays outside the kernel: it is a clean batched
 matmul XLA already maps to the MXU optimally.
@@ -39,7 +40,7 @@ def _gru_mm(x, w):
 
 
 def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
-            upd_ref, attn_ref, *, iters: int, scale: float):
+            upd_ref, attn_ref, hist_ref, *, iters: int, scale: float):
     k = k_ref[0]  # (N, d)
     v = v_ref[0]  # (N, d)
     slots = slots_ref[:]  # (S, d)
@@ -50,7 +51,9 @@ def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
     d = slots.shape[-1]
 
     updates = attn = None
-    for _ in range(iters):
+    for it in range(iters):
+        # checkpoint the iteration's input slots for the backward pass
+        hist_ref[0, it] = slots
         # dots = (slots @ k^T) * d^-0.5              (slot_attention.py:55)
         dots = jax.lax.dot_general(
             slots, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -77,7 +80,9 @@ def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
 
 
 def _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
-                   *, iters: int, interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   *, iters: int, interpret: bool):
+    """Returns (updates, attn, slots_history); history[i] = slots entering
+    iteration i — the checkpoints the backward pass rebuilds each step from."""
     b, n, d = k.shape
     s = initial_slots.shape[0]
     scale = float(d) ** -0.5
@@ -98,10 +103,13 @@ def _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
         out_specs=[
             pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, iters, s, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, d), jnp.float32),
             jax.ShapeDtypeStruct((b, s, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, iters, s, d), jnp.float32),
         ],
         interpret=interpret,
     )(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh)
@@ -136,24 +144,58 @@ def xslot_iterations_fused(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
       initial_slots: (S, d); GRU weights in torch layout, biases as (1, 3d).
     Returns: (updates (B, S, d), attn (B, S, N)) from the final iteration.
     """
-    return _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
-                          iters=iters, interpret=interpret)
+    upd, attn, _hist = _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
+                                      iters=iters, interpret=interpret)
+    return upd, attn
 
 
 def _fwd(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh, iters, interpret):
-    out = _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
-                         iters=iters, interpret=interpret)
-    return out, (k, v, initial_slots, w_ih, w_hh, b_ih, b_hh)
+    upd, attn, hist = _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
+                                     iters=iters, interpret=interpret)
+    return (upd, attn), (k, v, w_ih, w_hh, b_ih, b_hh, hist)
 
 
 def _bwd(iters, interpret, residuals, grads):
-    k, v, initial_slots, w_ih, w_hh, b_ih, b_hh = residuals
+    """Checkpointed backward: the kernel saved each iteration's input slots
+    (``hist``), so the VJP walks the iterations in reverse, rebuilding one
+    iteration's intermediates at a time from its checkpoint — total recompute
+    is one forward's worth, with no full-chain replay (the previous
+    implementation re-ran the entire jnp forward under ``jax.vjp``).
 
-    def ref(k_, v_, s_, wi_, wh_, bi_, bh_):
-        return xslot_iterations_ref(k_, v_, s_, wi_, wh_, bi_, bh_, iters=iters)
+    The single-iteration math is ``ops.slot_attention.xslot_iteration`` — the
+    oracle-tested formula set, identical to the kernel's.
+    """
+    from .slot_attention import xslot_iteration
 
-    _, vjp = jax.vjp(ref, k, v, initial_slots, w_ih, w_hh, b_ih, b_hh)
-    return vjp(tuple(grads))
+    k, v, w_ih, w_hh, b_ih, b_hh, hist = residuals
+    du, dattn = grads
+    d = k.shape[-1]
+    scale = float(d) ** -0.5
+
+    def one_iter(slots, k_, v_, wi, wh, bi, bh):
+        gru = GRUParams(w_ih=wi, w_hh=wh, b_ih=bi[0], b_hh=bh[0])
+        return xslot_iteration(slots, k_, v_, gru, scale)
+
+    zero_du = jnp.zeros_like(du)
+    zero_dattn = jnp.zeros_like(dattn)
+    dslots = jnp.zeros_like(hist[:, 0])
+    dk = dv = dwi = dwh = dbi = dbh = None
+    for i in range(iters - 1, -1, -1):
+        _, vjp = jax.vjp(one_iter, hist[:, i], k, v, w_ih, w_hh, b_ih, b_hh)
+        # only the FINAL iteration's updates/attn leave the op (:58-59 outputs)
+        cot = (dslots, du, dattn) if i == iters - 1 else (dslots, zero_du, zero_dattn)
+        dslots, dk_i, dv_i, dwi_i, dwh_i, dbi_i, dbh_i = vjp(cot)
+        if dk is None:
+            dk, dv, dwi, dwh, dbi, dbh = dk_i, dv_i, dwi_i, dwh_i, dbi_i, dbh_i
+        else:
+            dk, dv, dwi, dwh, dbi, dbh = (
+                dk + dk_i, dv + dv_i, dwi + dwi_i, dwh + dwh_i,
+                dbi + dbi_i, dbh + dbh_i,
+            )
+    # initial slots are broadcast over the batch in the forward — sum the
+    # batch cotangent back down to the (S, d) parameter
+    d_init = dslots.sum(axis=0)
+    return dk, dv, d_init, dwi, dwh, dbi, dbh
 
 
 xslot_iterations_fused.defvjp(_fwd, _bwd)

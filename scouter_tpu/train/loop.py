@@ -14,6 +14,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
@@ -62,7 +63,13 @@ class Trainer:
     def __init__(self, cfg: ScouterConfig, mesh=None, datasets=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        self.model = build_slot_model(cfg)
+        # bf16 training path: compute_dtype='bfloat16' runs convs/matmuls on the
+        # MXU in bf16 with fp32 master params (flax param_dtype default) and an
+        # fp32 loss reduction (ops/losses.py upcasts the logits).
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
+        self.model = build_slot_model(cfg, dtype=self.compute_dtype)
 
         if datasets is None:
             ds_train = select_dataset(cfg, train=True)

@@ -59,6 +59,39 @@ class TestTrainStep:
         out = Trainer(cfg, datasets=make_datasets()).fit()
         assert len(out) == 2
 
+    def test_bf16_training_path(self):
+        """compute_dtype='bfloat16': bf16 activations/MXU compute, fp32 master
+        params, fp32 loss — loss must still decrease and params stay fp32."""
+        cfg = small_cfg(compute_dtype="bfloat16")
+        trainer = Trainer(cfg, datasets=make_datasets())
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            assert leaf.dtype == jnp.float32
+        losses = []
+        for epoch in range(2):
+            m = trainer.run_epoch(epoch, "train")
+            assert np.isfinite(m["loss"])
+            losses.append(m["loss"])
+        assert losses[-1] < losses[0], losses
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            assert leaf.dtype == jnp.float32
+        # eval path shares the bf16 model
+        mv = trainer.run_epoch(0, "val")
+        assert np.isfinite(mv["loss"])
+
+    def test_bf16_loss_close_to_fp32(self):
+        """One step from identical weights: the bf16 step's loss must agree
+        with fp32 to bf16 resolution (fp32 reduction keeps the gap small)."""
+        ds = make_datasets()
+        cfg32 = small_cfg()
+        cfg16 = small_cfg(compute_dtype="bfloat16")
+        t32 = Trainer(cfg32, datasets=ds)
+        t16 = Trainer(cfg16, datasets=ds)
+        t16.state = t16.state.replace(params=t32.state.params,
+                                      batch_stats=t32.state.batch_stats)
+        m32 = t32.run_epoch(0, "val")
+        m16 = t16.run_epoch(0, "val")
+        assert abs(m32["loss"] - m16["loss"]) < 0.08 * max(1.0, abs(m32["loss"]))
+
 
 class TestFreezeMask:
     def test_labels_follow_dfs_freeze_semantics(self):

@@ -228,11 +228,16 @@ class SplitAttnConv(nn.Module):
             # sub-128 widths forces strided copies, while XLA lays the 5-D
             # reshape out for free and fuses the radix sum.
             x_r = x.reshape(b, h, w, self.radix, chs)
-            gap = x_r.sum(axis=3)
+            # gap = spatial mean of the radix sum. Mean-over-space and
+            # sum-over-radix commute, so reduce the BIG activation once
+            # (profile: the sum(radix)->mean(space) order left a standalone
+            # reduce_sum pass over every stage's conv2 output, ~18% of step
+            # time) and fold radix on the tiny pooled vector instead.
+            m = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,RC)
+            gap = m.reshape(b, 1, 1, self.radix, chs).sum(axis=3)
         else:
             x_r = x
-            gap = x
-        gap = jnp.mean(gap, axis=(1, 2), keepdims=True)  # adaptive_avg_pool2d(.,1)
+            gap = jnp.mean(x, axis=(1, 2), keepdims=True)
         gap = nn.Conv(attn_chs, (1, 1), feature_group_count=self.groups, use_bias=True,
                       dtype=self.dtype, name="fc1")(gap)
         gap = batch_norm(train, dtype=self.dtype, name="bn1")(gap)

@@ -6,8 +6,19 @@ compute path, fp32 params. Prints ONE JSON line.
 
 vs_baseline: ratio against an estimated A100 torch reference throughput for the
 same model/config. The reference repo publishes no numbers (BASELINE.md), so the
-constant below is an engineering estimate of PyTorch 1.6 resnest26d+slot
-inference on A100 (fp16, bs=70): ~2500 img/s. The north-star target is 3x that.
+constant below is an estimate of PyTorch 1.6 resnest26d+slot inference on A100
+(fp16, bs=70): ~2500 img/s. The north-star target is 3x that.
+
+Anchoring the estimate (round 2):
+- Model cost: 7.36 GFLOP/img (XLA cost analysis, 224px).
+- Same-hardware framework ratio: on the identical single CPU core, this
+  framework runs resnest26d at 11.45 img/s vs the vendored torch reference's
+  11.14 (1.03x) — the frameworks are compute-equivalent per FLOP, so the A100
+  number is a hardware-utilization question only.
+- A100 fp16 dense peak is 312 TFLOP/s; eager torch CNN inference typically
+  achieves 5-10% MFU on it => 2.1k-4.2k img/s. 2500 (5.9% MFU) sits inside
+  that bracket; the honest vs_baseline range for the current 10.4k img/s
+  headline is therefore 2.5x-5.0x with 4.2x as the point estimate.
 """
 
 import json

@@ -29,7 +29,12 @@ def select_dataset(cfg, train: bool = True):
     if cfg.dataset == "MNIST":
         images, labels = mnist_or_synthetic(cfg.dataset_dir, train=train)
         return ArrayDataset(images, labels, "MNIST")
-    staging = max(cfg.img_size, 260)
+    # stage at exactly img_size: the host PIL bilinear resize is then the ONLY
+    # resize, matching the reference's single Resize (transform_func.py:59-66)
+    # — the device-side resize in preprocess_batch becomes an identity guard.
+    # (Earlier rounds staged at max(img_size, 260) and re-resized on device; a
+    # tolerance-level deviation, now eliminated.)
+    staging = cfg.img_size
     if cfg.dataset == "ConText":
         tr, va = scan_context(cfg.dataset_dir)
         items = tr if train else va

@@ -194,4 +194,6 @@ class TestStreamingFolderDataset:
                             num_classes=1, img_size=8)
         ds = select_dataset(cfg, train=True)
         assert isinstance(ds, FolderDataset)
-        assert ds.gather([0]).shape == (1, 260, 260, 3)
+        # staging == img_size: the host PIL resize is the only resize (single
+        # Resize parity with transform_func.py:59-66)
+        assert ds.gather([0]).shape == (1, cfg.img_size, cfg.img_size, 3)

@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--img_size", type=int, default=260)
     parser.add_argument("--output_dir", default="saved_model")
     parser.add_argument("--results", default="RESULTS.md")
+    parser.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     import jax
@@ -54,6 +56,7 @@ def main():
         model="resnet18", dataset="MNIST", num_classes=10, channel=512,
         img_size=args.img_size, batch_size=64, epochs=args.epochs, lr=1e-4,
         output_dir=args.output_dir, seed=0, pre_trained=False, freeze_layers=0,
+        compute_dtype=args.compute_dtype,
     )
     rows = []
 

@@ -87,3 +87,23 @@ def test_end_to_end_heatmap_iou_parity_negative():
     result = run_parity(cfg, steps=3, probes=2, val_batches=1, seed=1, lr=1e-4)
     assert result["top1"]["agreement"] == 1.0
     assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9
+
+
+def test_end_to_end_heatmap_iou_parity_resnest():
+    """Same contract on the resnest26d family config (ConText/ImageNet-10
+    recipes) — exercises SplitAttn/avd-pool numerics end-to-end, including the
+    round-2 gap-reduction reorder. Shorter than the resnet18 variant (one
+    training step) because resnest26d is ~4x the compile+step cost on CPU."""
+    from parity_report import run_parity
+
+    cfg = ScouterConfig(
+        model="resnest26d", dataset="ImageNet", num_classes=3, channel=2048,
+        use_slot=True, slots_per_class=3, power=2, loss_status=1,
+        to_k_layer=3, lambda_value=1.0, img_size=288, batch_size=2,
+        pre_trained=False, freeze_layers=0,
+    )
+    result = run_parity(cfg, steps=1, probes=1, val_batches=1, seed=0, lr=1e-4)
+    assert result["loss_trajectory"]["max_abs_delta"] < 5e-3
+    assert result["top1"]["agreement"] == 1.0
+    assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9
+    assert result["heatmap_iou"]["mean"]["soft_iou"] >= 0.9

@@ -28,6 +28,30 @@ from .folders import PathLabel
 __all__ = ["FolderDataset"]
 
 
+class _LazyImageView:
+    """Indexable view over a FolderDataset's decoded images.
+
+    Gives FolderDataset the same ``.images[idx]`` surface as ArrayDataset
+    (used by the explanation CLIs and parity_report to fetch one vis image)
+    while keeping decode lazy: each access decodes (or serves from cache)
+    exactly the requested indices via ``FolderDataset.gather``.
+    """
+
+    def __init__(self, ds: "FolderDataset"):
+        self._ds = ds
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, index):
+        if isinstance(index, (int, np.integer)):
+            return self._ds.gather([int(index)])[0]
+        if isinstance(index, slice):
+            indices = np.arange(len(self._ds))[index]
+            return self._ds.gather(indices)
+        return self._ds.gather(np.asarray(index))
+
+
 class FolderDataset:
     """Lazy directory-backed dataset with a bounded decoded-image cache."""
 
@@ -46,6 +70,11 @@ class FolderDataset:
 
     def __len__(self) -> int:
         return len(self.items)
+
+    @property
+    def images(self) -> _LazyImageView:
+        """ArrayDataset-compatible lazy image accessor (decodes on access)."""
+        return _LazyImageView(self)
 
     @property
     def cached_bytes(self) -> int:

@@ -126,6 +126,23 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
 
+    # Modules that are EvoNorm layers (evo_norm.py): identified by having a 'v'
+    # gate (EvoNormSample2d) or a 4-D running_var with no running_mean
+    # (EvoNormBatch2d). Disambiguates their (1,C,1,1) affine weight from a
+    # hypothetical genuine 1x1 conv with out_channels==1 by module context,
+    # not shape alone.
+    evo_modules = set()
+    for key, value in state_dict.items():
+        segs = key.split(".")
+        leaf = segs[-1]
+        mod = ".".join(segs[:-1])
+        if leaf == "v":
+            evo_modules.add(mod)
+        elif leaf == "running_var" and _to_np(value).ndim == 4 and (
+            mod + ".running_mean" not in state_dict
+        ):
+            evo_modules.add(mod)
+
     for key, value in state_dict.items():
         segs = key.split(".")
         leaf_name = segs[-1]
@@ -161,9 +178,9 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Di
             # EvoNorm gate parameter, torch shape (1,C,1,1) (evo_norm.py:62-66)
             _set(params, mod_path + ("v",), arr.reshape(-1))
         elif leaf_name == "weight":
-            if arr.ndim == 4 and arr.shape[0] == 1 and arr.shape[2:] == (1, 1):
-                # EvoNorm affine (1,C,1,1) -> flat scale (evo_norm.py:60-61);
-                # no conv in the zoo has out_channels==1 with a 1x1 kernel
+            if (arr.ndim == 4 and arr.shape[0] == 1 and arr.shape[2:] == (1, 1)
+                    and ".".join(segs[:-1]) in evo_modules):
+                # EvoNorm affine (1,C,1,1) -> flat scale (evo_norm.py:60-61)
                 _set(params, mod_path + ("scale",), arr.reshape(-1))
             elif arr.ndim == 4:  # conv OIHW -> HWIO
                 _set(params, mod_path + ("kernel",), arr.transpose(2, 3, 1, 0))

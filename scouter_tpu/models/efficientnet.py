@@ -281,11 +281,18 @@ class _CondConv(nn.Module):
         k = self.kernel_size
         per_group_in = in_chs // self.groups
         num_params = self.out_chs * per_group_in * k * k
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-            (num_params, self.num_experts),
-        )
+
+        def expert_conv_init(key, shape, dtype=jnp.float32):
+            # timm get_condconv_initializer semantics (cond_conv2d.py:16-31):
+            # each expert row is an (O, I/g, kh, kw) conv initialized with the
+            # torch conv default kaiming_uniform(a=sqrt(5)), i.e. fan computed
+            # from the PER-EXPERT conv shape, not the 2-D flat (params, E) shape
+            fan_in = per_group_in * k * k
+            bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", expert_conv_init,
+                            (num_params, self.num_experts))
         w = jnp.einsum("be,pe->bp", routing, jnp.asarray(kernel, x.dtype))
         # torch flat order is (O, I/g, kh, kw) -> rearrange to HWIO per sample
         w = w.reshape(-1, self.out_chs, per_group_in, k, k).transpose(0, 3, 4, 2, 1)

@@ -112,9 +112,19 @@ def make_train_step(
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        metrics = _metrics(out, losses, batch["label"], batch.get("mask"))
+        mask = batch.get("mask")
+        metrics = _metrics(out, losses, batch["label"], mask)
         if per_replica:
+            # acc is a masked ratio: psum numerator and denominator separately
+            # so an unevenly-masked shard (padded tail) isn't over-weighted by
+            # an unweighted pmean of per-shard ratios
+            pred = jnp.argmax(out["logits"], axis=1)
+            correct = (pred == batch["label"]).astype(jnp.float32)
+            m = mask if mask is not None else jnp.ones_like(correct)
+            num = jax.lax.psum(jnp.sum(correct * m), "data")
+            den = jax.lax.psum(jnp.sum(m), "data")
             metrics = jax.lax.pmean(metrics, "data")
+            metrics["acc"] = num / jnp.maximum(den, 1.0)
         return new_state, metrics
 
     if sync_bn or mesh is None:

@@ -126,6 +126,47 @@ class TestLoading:
         np.testing.assert_array_equal(labels, tr_y)
 
 
+class TestAugmentRandomOrder:
+    """imgaug Sequential(random_order=True) parity (tools/image_aug.py:41)."""
+
+    def test_order_changes_result(self):
+        import jax.numpy as jnp
+        from scouter_tpu.data.transforms import _apply_augs
+
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.uniform(0, 255, (16, 16, 3)).astype(np.float32))
+        gates = (False, False, True, True)  # affine + blur: non-commuting pair
+        params = (0.85, 0.9, 0.05, -0.05, 7.0, 2.0)
+        a_then_b = _apply_augs(img, gates, params, [2, 3, 0, 1])
+        b_then_a = _apply_augs(img, gates, params, [3, 2, 0, 1])
+        assert not np.allclose(np.asarray(a_then_b), np.asarray(b_then_a), atol=1e-3)
+        # identity slots don't affect the result
+        a_then_b2 = _apply_augs(img, gates, params, [0, 2, 1, 3])
+        np.testing.assert_allclose(np.asarray(a_then_b), np.asarray(a_then_b2),
+                                   rtol=1e-6, atol=1e-4)
+
+    def test_all_orders_occur(self):
+        import jax
+        from scouter_tpu.data.transforms import _augment_one
+
+        # the per-image permutation draw covers multiple orders across keys
+        orders = set()
+        for i in range(40):
+            keys = jax.random.split(jax.random.PRNGKey(i), 11)
+            orders.add(tuple(np.asarray(jax.random.permutation(keys[10], 4))))
+        assert len(orders) >= 10
+
+    def test_gates_off_is_identity(self):
+        import jax.numpy as jnp
+        from scouter_tpu.data.transforms import _apply_augs
+
+        rng = np.random.RandomState(1)
+        img = jnp.asarray(rng.uniform(0, 255, (12, 12, 3)).astype(np.float32))
+        out = _apply_augs(img, (False,) * 4, (0.9, 0.9, 0.0, 0.0, 5.0, 1.0),
+                          [3, 1, 2, 0])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+
+
 class TestStreamingFolderDataset:
     """Lazy per-batch decode (VERDICT round-1 weak item 4): byte-identical to
     the eager load_image_list path, deterministic, and RAM-bounded."""
@@ -165,6 +206,22 @@ class TestStreamingFolderDataset:
         for a, b in zip(b_eager, b_lazy):
             np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
             np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]))
+
+    def test_images_view_matches_eager(self, tmp_path):
+        # .images accessor parity with ArrayDataset (used by explain/cli.py,
+        # compare_cli.py and parity_report.py to fetch a single vis image)
+        from scouter_tpu.data import FolderDataset, load_image_list
+
+        items = self._make_tree(tmp_path)
+        eager_imgs, _ = load_image_list(items, staging_size=16)
+        ds = FolderDataset(items, staging_size=16, dataset_name="ConText")
+        assert len(ds.images) == len(eager_imgs)
+        np.testing.assert_array_equal(ds.images[5], eager_imgs[5])
+        np.testing.assert_array_equal(ds.images[2:7], eager_imgs[2:7])
+        sel = np.array([1, 9, 4])
+        np.testing.assert_array_equal(ds.images[sel], eager_imgs[sel])
+        np.testing.assert_array_equal(
+            np.stack([np.asarray(ds.images[i]) for i in sel]), eager_imgs[sel])
 
     def test_cache_is_byte_bounded(self, tmp_path):
         from scouter_tpu.data import FolderDataset

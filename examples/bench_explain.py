@@ -45,11 +45,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from scouter_tpu.core import setup_compilation_cache
+
+    setup_compilation_cache()
 
     from scouter_tpu.explain.extremal import extremal_perturbation
     from scouter_tpu.explain.rise import rise

@@ -27,11 +27,9 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from scouter_tpu.core import setup_compilation_cache
+
+    setup_compilation_cache()
     import jax.numpy as jnp
 
     from scouter_tpu.core import ScouterConfig

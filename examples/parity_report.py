@@ -100,6 +100,64 @@ def make_batches(cfg, n_batches, seed, data_dir=None, split="train"):
     return batches, False
 
 
+def _heatmap_reports(ref, model, variables, probe_imgs, cfg):
+    """Per-probe heatmap-IoU tables comparing both test.py flows.
+
+    torch side: the reference's own vis path (slot_attention.py:68-85 PNG
+    side effects, test.py:33-38 bilinear resize); ours: attention returned
+    from forward, rendered host-side.
+    """
+    import torch
+    import jax.numpy as jnp
+
+    from scouter_tpu.explain.parity import iou_table, resize_map_bilinear
+    from scouter_tpu.explain.vis import attention_to_maps
+
+    reports = []
+    out_size = (cfg.img_size, cfg.img_size)
+    for p in range(len(probe_imgs)):
+        x1 = probe_imgs[p:p + 1]
+        ref.slot.vis, ref.slot.vis_id = True, 0
+        with tempfile.TemporaryDirectory() as td, _chdir(td):
+            os.makedirs("sloter/vis", exist_ok=True)
+            with torch.no_grad(), contextlib.redirect_stdout(open(os.devnull, "w")):
+                ref(torch.from_numpy(x1.transpose(0, 3, 1, 2)))
+            from PIL import Image
+            ref_maps = [
+                resize_map_bilinear(
+                    np.array(Image.open(f"sloter/vis/slot_{c}.png"), np.uint8),
+                    out_size,
+                )
+                for c in range(cfg.num_classes)
+            ]
+        ref.slot.vis = False
+        out = model.apply(variables, jnp.asarray(x1))
+        maps = attention_to_maps(np.asarray(out["attn"])[0],
+                                 cfg.num_classes, cfg.slots_per_class)
+        our_maps = [resize_map_bilinear(m, out_size) for m in maps]
+        reports.append(iou_table(ref_maps, our_maps))
+    return reports
+
+
+def _aggregate_iou(reports, num_classes):
+    mean_keys = reports[0]["mean"].keys()
+    return {
+        "per_class": [
+            {
+                "class": c,
+                **{
+                    k: float(np.mean([r["per_class"][c][k] for r in reports]))
+                    for k in mean_keys
+                },
+            }
+            for c in range(num_classes)
+        ],
+        "mean": {
+            k: float(np.mean([r["mean"][k] for r in reports])) for k in mean_keys
+        },
+    }
+
+
 def run_parity(cfg, steps=8, probes=4, val_batches=2, seed=0, lr=1e-4,
                data_dir=None, out_dir=None):
     import torch
@@ -110,10 +168,7 @@ def run_parity(cfg, steps=8, probes=4, val_batches=2, seed=0, lr=1e-4,
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from scouter_tpu.explain.parity import (
-        format_iou_table, iou_table, resize_map_bilinear,
-    )
-    from scouter_tpu.explain.vis import attention_to_maps
+    from scouter_tpu.explain.parity import format_iou_table
     from scouter_tpu.models import build_slot_model, torch_state_dict_to_variables
     from scouter_tpu.train.state import create_train_state
     from scouter_tpu.train.steps import make_train_step
@@ -172,48 +227,8 @@ def run_parity(cfg, steps=8, probes=4, val_batches=2, seed=0, lr=1e-4,
         total += len(y)
 
     # ---- per-class slot maps via both test.py flows, probe-by-probe
-    reports = []
-    out_size = (cfg.img_size, cfg.img_size)
-    for p in range(len(probe_imgs)):
-        x1 = probe_imgs[p:p + 1]
-        # torch: the reference's own vis path (PNG side effects in ./sloter/vis)
-        ref.slot.vis, ref.slot.vis_id = True, 0
-        with tempfile.TemporaryDirectory() as td, _chdir(td):
-            os.makedirs("sloter/vis", exist_ok=True)
-            with torch.no_grad(), contextlib.redirect_stdout(open(os.devnull, "w")):
-                ref(torch.from_numpy(x1.transpose(0, 3, 1, 2)))
-            from PIL import Image
-            ref_maps = [
-                resize_map_bilinear(
-                    np.array(Image.open(f"sloter/vis/slot_{c}.png"), np.uint8),
-                    out_size,
-                )
-                for c in range(cfg.num_classes)
-            ]
-        ref.slot.vis = False
-        # ours: attention returned from forward, rendered host-side
-        out = model.apply(state.variables(), jnp.asarray(x1))
-        maps = attention_to_maps(np.asarray(out["attn"])[0],
-                                 cfg.num_classes, cfg.slots_per_class)
-        our_maps = [resize_map_bilinear(m, out_size) for m in maps]
-        reports.append(iou_table(ref_maps, our_maps))
-
-    mean_keys = reports[0]["mean"].keys()
-    agg = {
-        "per_class": [
-            {
-                "class": c,
-                **{
-                    k: float(np.mean([r["per_class"][c][k] for r in reports]))
-                    for k in mean_keys
-                },
-            }
-            for c in range(cfg.num_classes)
-        ],
-        "mean": {
-            k: float(np.mean([r["mean"][k] for r in reports])) for k in mean_keys
-        },
-    }
+    reports = _heatmap_reports(ref, model, state.variables(), probe_imgs, cfg)
+    agg = _aggregate_iou(reports, cfg.num_classes)
 
     result = {
         "config": {
@@ -253,6 +268,254 @@ def run_parity(cfg, steps=8, probes=4, val_batches=2, seed=0, lr=1e-4,
         with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
             json.dump(result, f, indent=2)
         print(f"\nwritten: {os.path.join(out_dir, 'parity_report.json')}")
+    return result
+
+
+def _epoch_indices(n, batch_size, seed, epoch):
+    """Deterministic per-epoch shuffle, shared by both frameworks (the
+    framework Loader's formula, data/pipeline.py:_epoch_indices)."""
+    rng = np.random.RandomState((seed * 100003 + epoch) % (2**31))
+    idx = np.arange(n)
+    rng.shuffle(idx)
+    n_full = (n // batch_size) * batch_size
+    return idx[:n_full]
+
+
+def _make_mnist_arrays(img_size, n_train, n_val, seed):
+    """Synthetic MNIST resized+normalized once; both frameworks consume the
+    same fp32 arrays so the comparison isolates training arithmetic."""
+    import jax.numpy as jnp
+
+    from scouter_tpu.data import synthetic_mnist
+    from scouter_tpu.data.transforms import preprocess_batch
+
+    (tr_x, tr_y), (te_x, te_y) = synthetic_mnist(n_train, n_val, seed)
+
+    def prep(u8):
+        out = []
+        for i in range(0, len(u8), 64):
+            out.append(np.asarray(preprocess_batch(
+                jnp.asarray(u8[i:i + 64]), dataset="MNIST", img_size=img_size)))
+        return np.concatenate(out).astype(np.float32)
+
+    return (prep(tr_x), tr_y.astype(np.int64)), (prep(te_x), te_y.astype(np.int64))
+
+
+def _torch_recipe(ref, train_arrays, val_arrays, epochs, batch_size, lr,
+                  lr_drop, seed):
+    """Train a reference model with the reference's loop semantics
+    (engine.py:17-52 inner loop, train.py:146-148 AdamW, :179 StepLR).
+    Returns per-epoch val accuracies."""
+    import torch
+
+    x_tr, y_tr = train_arrays
+    x_va, y_va = val_arrays
+    opt = torch.optim.AdamW(ref.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=lr_drop)
+    val_accs = []
+    for epoch in range(epochs):
+        ref.train()
+        for s in range(0, len(idx := _epoch_indices(len(x_tr), batch_size, seed, epoch)),
+                       batch_size):
+            sel = idx[s:s + batch_size]
+            opt.zero_grad()
+            _, loss_list = ref(
+                torch.from_numpy(x_tr[sel].transpose(0, 3, 1, 2)),
+                torch.from_numpy(y_tr[sel]))
+            loss_list[0].backward()
+            opt.step()
+        sched.step()
+        ref.eval()
+        correct = 0
+        with torch.no_grad():
+            for s in range(0, len(x_va), batch_size):
+                out = ref(torch.from_numpy(x_va[s:s + batch_size].transpose(0, 3, 1, 2)))
+                correct += int((out.argmax(1).numpy() == y_va[s:s + batch_size]).sum())
+        val_accs.append(correct / len(x_va))
+    return val_accs
+
+
+def _jax_recipe(cfg, variables, train_arrays, val_arrays, epochs, batch_size,
+                lr, seed):
+    """Train this framework's model on the identical stream (no lr drop within
+    the short schedule; StepLR step_size=70 never fires). Returns
+    (final_state, per-epoch val accuracies, model)."""
+    import jax.numpy as jnp
+
+    from scouter_tpu.models import build_slot_model
+    from scouter_tpu.train.state import create_train_state
+    from scouter_tpu.train.steps import make_eval_step, make_train_step
+
+    x_tr, y_tr = train_arrays
+    x_va, y_va = val_arrays
+    model = build_slot_model(cfg)
+    state, tx = create_train_state(variables, lr)
+    step = make_train_step(model, tx, cfg.lambda_value, donate=False)
+    eval_step = make_eval_step(model, cfg.lambda_value)
+    val_accs = []
+    for epoch in range(epochs):
+        for s in range(0, len(idx := _epoch_indices(len(x_tr), batch_size, seed, epoch)),
+                       batch_size):
+            sel = idx[s:s + batch_size]
+            state, _ = step(state, {"image": jnp.asarray(x_tr[sel]),
+                                    "label": jnp.asarray(y_tr[sel].astype(np.int32))})
+        correct = total = 0
+        for s in range(0, len(x_va), batch_size):
+            xb, yb = x_va[s:s + batch_size], y_va[s:s + batch_size]
+            m = eval_step(state, {"image": jnp.asarray(xb),
+                                  "label": jnp.asarray(yb.astype(np.int32))})
+            correct += float(m["acc"]) * len(yb)
+            total += len(yb)
+        val_accs.append(correct / total)
+    return state, val_accs, model
+
+
+def _final_agreement(ref, model, state, val_arrays, batch_size):
+    import torch
+    import jax.numpy as jnp
+
+    x_va, y_va = val_arrays
+    ref.eval()
+    agree = ref_c = jax_c = total = 0
+    for s in range(0, len(x_va), batch_size):
+        xb, yb = x_va[s:s + batch_size], y_va[s:s + batch_size]
+        with torch.no_grad():
+            rp = ref(torch.from_numpy(xb.transpose(0, 3, 1, 2))).argmax(1).numpy()
+        out = model.apply(state.variables(), jnp.asarray(xb))
+        jp = np.asarray(out["logits"]).argmax(1)
+        agree += int((rp == jp).sum())
+        ref_c += int((rp == yb).sum())
+        jax_c += int((jp == yb).sum())
+        total += len(yb)
+    return {"agreement": agree / total, "torch_acc": ref_c / total,
+            "jax_acc": jax_c / total, "n": total}
+
+
+def run_full_recipe(epochs=4, n_train=512, n_val=128, batch_size=8,
+                    img_size=260, lr=1e-4, seed=0, probes=4, out_path=None):
+    """Long-horizon cross-framework parity: train the torch reference
+    END-TO-END beside this framework through the full MNIST recipe chain
+    (README.md:84-105 — no_slot pretrain -> positive SCOUTER with the
+    use_pre handoff -> negative SCOUTER), hundreds of optimizer steps per
+    stage, from identical init per stage; compare per-epoch val accuracy,
+    final top-1 agreement, and trained-model heatmap IoU.
+
+    Both stage-2/3 models boot from the TORCH stage-1 checkpoint through each
+    framework's own use_pre path (the reference's k[9:] strip runs verbatim on
+    the torch side; our converter handles it on the jax side), so every stage
+    is a clean identical-init comparison and drift does not compound across
+    stages.
+    """
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.core import ScouterConfig
+    from scouter_tpu.models import (
+        build_slot_model, strip_prefix, torch_state_dict_to_variables,
+    )
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    probe_imgs = val_arrays[0][:probes]
+    base = dict(model="resnet18", dataset="MNIST", num_classes=10, channel=512,
+                img_size=img_size, batch_size=batch_size,
+                pre_trained=False, freeze_layers=0)
+    lr_drop = 70  # train.py:34 default; never fires in a short schedule
+    stages = []
+
+    # ---- stage 1: no-slot pretrain (README.md:84-88), identical init
+    cfg1 = ScouterConfig(**base, use_slot=False)
+    torch.manual_seed(seed)
+    ref1 = _make_ref_slot_model(cfg1)
+    variables1 = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in ref1.state_dict().items()})
+    t_accs1 = _torch_recipe(ref1, train_arrays, val_arrays, epochs, batch_size,
+                            lr, lr_drop, seed)
+    state1, j_accs1, model1 = _jax_recipe(cfg1, variables1, train_arrays,
+                                          val_arrays, epochs, batch_size, lr, seed)
+    agree1 = _final_agreement(ref1, model1, state1, val_arrays, batch_size)
+    stages.append({"stage": "no_slot pretrain", "torch_val_acc": t_accs1,
+                   "jax_val_acc": j_accs1, "final": agree1})
+
+    # ---- write the torch stage-1 checkpoint where load_backbone expects it
+    workdir = tempfile.mkdtemp(prefix="full_recipe_")
+    os.makedirs(os.path.join(workdir, "saved_model"), exist_ok=True)
+    torch.save({"model": ref1.state_dict()},
+               os.path.join(workdir, "saved_model", "MNIST_no_slot_checkpoint.pth"))
+
+    def _stage(cfg, stage_seed, name):
+        # torch side: build with use_pre handoff running the reference's own
+        # loader (slot_model.py:27-33) inside workdir
+        torch.manual_seed(stage_seed)
+        with _chdir(workdir):
+            ref = _make_ref_slot_model(cfg)
+        variables = torch_state_dict_to_variables(
+            {k: v.clone() for k, v in ref.state_dict().items()})
+        t_accs = _torch_recipe(ref, train_arrays, val_arrays, epochs,
+                               batch_size, lr, lr_drop, stage_seed)
+        state, j_accs, model = _jax_recipe(cfg, variables, train_arrays,
+                                           val_arrays, epochs, batch_size, lr,
+                                           stage_seed)
+        final = _final_agreement(ref, model, state, val_arrays, batch_size)
+        iou = _aggregate_iou(
+            _heatmap_reports(ref, model, state.variables(), probe_imgs, cfg),
+            cfg.num_classes)
+        stages.append({"stage": name, "torch_val_acc": t_accs,
+                       "jax_val_acc": j_accs, "final": final,
+                       "heatmap_iou_mean": iou["mean"],
+                       "heatmap_iou_per_class": iou["per_class"]})
+
+    # ---- stage 2: positive SCOUTER with use_pre (README.md:91-97)
+    _stage(ScouterConfig(**base, use_slot=True, use_pre=True, loss_status=1,
+                         slots_per_class=1, power=1, to_k_layer=1,
+                         lambda_value=1.0),
+           seed + 1, "positive SCOUTER (use_pre)")
+
+    # ---- stage 3: negative SCOUTER, from-scratch backbone (README.md:99-105)
+    _stage(ScouterConfig(**base, use_slot=True, use_pre=False, loss_status=-1,
+                         slots_per_class=2, power=2, to_k_layer=1,
+                         lambda_value=1.5),
+           seed + 2, "negative SCOUTER")
+
+    result = {
+        "data": f"SYNTHETIC MNIST ({n_train} train / {n_val} val, "
+                f"{img_size}px, {epochs} epochs, bs={batch_size}, "
+                f"{epochs * (n_train // batch_size)} steps/stage)",
+        "stages": stages,
+    }
+    lines = ["# Full-recipe cross-framework parity (torch reference vs scouter-tpu)",
+             "", result["data"], ""]
+    for st in stages:
+        lines += [f"## {st['stage']}", "",
+                  "| epoch | torch val acc | jax val acc | delta (pt) |",
+                  "|---|---|---|---|"]
+        for e, (t, j) in enumerate(zip(st["torch_val_acc"], st["jax_val_acc"])):
+            lines.append(f"| {e + 1} | {t:.4f} | {j:.4f} | {100 * (j - t):+.2f} |")
+        f = st["final"]
+        lines += ["", f"final: top-1 agreement {f['agreement']:.4f} "
+                      f"(torch {f['torch_acc']:.4f}, jax {f['jax_acc']:.4f}, "
+                      f"n={f['n']})"]
+        if "heatmap_iou_mean" in st:
+            m = st["heatmap_iou_mean"]
+            lines.append(f"trained-model heatmap IoU (mean over {probes} probes): "
+                         f"soft {m['soft_iou']:.4f}, @128 {m['iou@128']:.4f}")
+        lines.append("")
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2)
+        print(f"written: {out_path}")
     return result
 
 

@@ -31,10 +31,9 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    except Exception:
-        pass
+    from scouter_tpu.core import setup_compilation_cache
+
+    setup_compilation_cache()
 
     from scouter_tpu.core import ScouterConfig
     from scouter_tpu.data import ArrayDataset, mnist_or_synthetic, synthetic_mnist

@@ -1,5 +1,6 @@
 """Core: configuration, PRNG/mesh plumbing, checkpoint I/O."""
 
+from .cache import setup_compilation_cache
 from .config import (
     ScouterConfig,
     checkpoint_name,
@@ -14,4 +15,5 @@ __all__ = [
     "config_from_args",
     "expand_sweep",
     "get_args_parser",
+    "setup_compilation_cache",
 ]

@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache setup, shared by every entry point.
+
+First compile of a large backbone on the TPU is slow (cold resnet18
+compile+run was measured at ~12 min in round 2's zoo smoke); a persistent
+cache makes every subsequent process start in seconds. Round 2 set this up
+only in bench/example scripts — this module centralizes it so the user CLIs
+(train/cli.py, explain/cli.py, explain/compare_cli.py) and the benches share
+one cache directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["setup_compilation_cache"]
+
+_DEFAULT_DIR = os.path.expanduser("~/.jax_cache")
+_done = False
+
+
+def setup_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable the persistent compilation cache (idempotent, best-effort)."""
+    global _done
+    if _done:
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            cache_dir or os.environ.get("SCOUTER_JAX_CACHE", _DEFAULT_DIR),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _done = True
+    except Exception:
+        pass

@@ -74,6 +74,9 @@ def render_explanations(cfg, state, model, image_u8: np.ndarray, label, vis_dir:
 
 
 def main(argv=None):
+    from ..core.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser(
         "SCOUTER-TPU inference and explanation script", parents=[get_args_parser()]
     )

@@ -145,6 +145,9 @@ def compare_methods(
 def main(argv=None):
     import jax
 
+    from ..core.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     from ..core.checkpoint import checkpoint_path, restore_checkpoint
     from ..core.config import config_from_args, get_args_parser
     from ..data import select_dataset

@@ -67,6 +67,9 @@ def param_translation(ns: argparse.Namespace):
 
 
 def main(argv=None):
+    from ..core.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser(
         "SCOUTER-TPU training and evaluation script", parents=[get_args_parser()]
     )

@@ -12,8 +12,8 @@ inside the train step's donor buffers.
 
 Augmentation mirrors ``tools/image_aug.py:44-69`` semantics: independent coin
 flips for {fliplr, flipud, affine(scale 0.8-1, translate ±10%/0-10%, rotate
-±10°), gaussian blur σ∈[0,3]} applied in random order per image (random order is
-approximated by fixed order here — the ops commute up to resampling error).
+±10°), gaussian blur σ∈[0,3]} applied in a per-image random order
+(``iaa.Sequential(random_order=True)``) via a permuted ``lax.switch`` chain.
 """
 
 from __future__ import annotations
@@ -92,27 +92,48 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, max_radius: int = 5) ->
 
 
 def _augment_one(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-    """Per-image augmentation with imgaug's parameter ranges (image_aug.py:14-24)."""
-    keys = jax.random.split(key, 10)
+    """Per-image augmentation with imgaug's parameter ranges (image_aug.py:14-24).
+
+    Matches ``iaa.Sequential(sequence, random_order=True)`` (image_aug.py:41):
+    each of the four augmenters is gated by an independent coin flip
+    (image_aug.py:46-59), parameters are sampled once per image, and the gated
+    ops are applied in a per-image random order — a permutation of the four op
+    slots executed as a chain of ``lax.switch``es (skipped ops are identity,
+    which is order-invariant, so permuting all four slots equals permuting the
+    included subset).
+    """
+    keys = jax.random.split(key, 11)
     do_fliplr = jax.random.bernoulli(keys[0])
     do_flipud = jax.random.bernoulli(keys[1])
     do_affine = jax.random.bernoulli(keys[2])
     do_blur = jax.random.bernoulli(keys[3])
-
-    img = jnp.where(do_fliplr, img[:, ::-1], img)
-    img = jnp.where(do_flipud, img[::-1], img)
 
     sx = jax.random.uniform(keys[4], minval=0.8, maxval=1.0)
     sy = jax.random.uniform(keys[5], minval=0.8, maxval=1.0)
     tx = jax.random.uniform(keys[6], minval=0.0, maxval=0.1)
     ty = jax.random.uniform(keys[7], minval=-0.1, maxval=0.1)
     rot = jax.random.uniform(keys[8], minval=-10.0, maxval=10.0)
-    affined = _affine_sample(img, (sx, sy), (tx, ty), rot)
-    img = jnp.where(do_affine, affined, img)
-
     sigma = jax.random.uniform(keys[9], minval=0.0, maxval=3.0)
-    blurred = _gaussian_blur(img, sigma)
-    img = jnp.where(do_blur, blurred, img)
+
+    order = jax.random.permutation(keys[10], 4)
+    gates = (do_fliplr, do_flipud, do_affine, do_blur)
+    return _apply_augs(img, gates, (sx, sy, tx, ty, rot, sigma), order)
+
+
+def _apply_augs(img, gates, params, order):
+    """Apply the four gated augmenters in ``order`` (a permutation of 0..3)."""
+    do_fliplr, do_flipud, do_affine, do_blur = gates
+    sx, sy, tx, ty, rot, sigma = params
+    branches = [
+        lambda im: jnp.where(do_fliplr, im[:, ::-1], im),
+        lambda im: jnp.where(do_flipud, im[::-1], im),
+        lambda im: jnp.where(do_affine,
+                             _affine_sample(im, (sx, sy), (tx, ty), rot), im),
+        lambda im: jnp.where(do_blur, _gaussian_blur(im, sigma), im),
+    ]
+    order = jnp.asarray(order)
+    for slot in range(4):
+        img = jax.lax.switch(order[slot], branches, img)
     return img
 
 

@@ -73,8 +73,24 @@ class Loader:
             self._indices = np.arange(start, stop)
         else:
             self._indices = np.arange(len(dataset))
+        # Multi-process: every process MUST iterate the same number of batches
+        # (the jitted step contains collectives; mismatched counts deadlock).
+        # Train: truncate to the smallest host shard's full batches. Val: pad
+        # the smaller shards with fully-masked batches up to the largest.
+        pc = jax.process_count()
+        if shard_by_host and pc > 1:
+            n = len(dataset)
+            base, rem = divmod(n, pc)
+            self._train_steps = base // batch_size
+            self._val_steps = -(-(base + (1 if rem else 0)) // batch_size)
+        else:
+            self._train_steps = self._val_steps = None
 
     def steps_per_epoch(self) -> int:
+        if self.train and self._train_steps is not None:
+            return self._train_steps
+        if not self.train and self._val_steps is not None:
+            return self._val_steps
         n = len(self._indices)
         return n // self.batch_size if self.train else -(-n // self.batch_size)
 
@@ -92,9 +108,15 @@ class Loader:
         from .native_stager import gather_items
 
         idx = self._epoch_indices(epoch)
-        for i in range(0, len(idx), self.batch_size):
+        n_steps = self.steps_per_epoch()
+        for step_i in range(n_steps):
+            i = step_i * self.batch_size
             chunk = idx[i: i + self.batch_size]
             valid = len(chunk)
+            if valid == 0:
+                # cross-host step-count padding (multi-process val): a fully
+                # masked batch repeating index 0 keeps collectives in lockstep
+                chunk = idx[:1].repeat(self.batch_size)
             if valid < self.batch_size:
                 # pad the trailing eval batch to the full (static) batch size so
                 # the jitted step keeps one shape and the batch divides the mesh;
@@ -121,7 +143,14 @@ class Loader:
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
 
-            put = lambda x: jax.device_put(x, batch_sharding(self.mesh))
+            sh = batch_sharding(self.mesh)
+            if jax.process_count() > 1:
+                # each host contributes its LOCAL batch; the global array is
+                # assembled across processes (global batch = pc * batch_size,
+                # matching the reference's per-rank DataLoader batch_size)
+                put = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+            else:
+                put = lambda x: jax.device_put(x, sh)
         else:
             put = jax.device_put
 

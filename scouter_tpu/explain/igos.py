@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gaussian_blur_baseline", "tv_norm", "integrated_mask", "deletion_insertion_curve"]
+__all__ = ["gaussian_blur_baseline", "tv_norm", "integrated_mask",
+           "deletion_insertion_curve", "write_video"]
 
 
 def gaussian_blur_baseline(img: jnp.ndarray, ksize: int = 51, sigma: float = 50.0) -> jnp.ndarray:
@@ -185,3 +186,31 @@ def deletion_insertion_curve(
 
     dels, ins = jax.lax.map(eval_point, fractions)
     return dels, ins
+
+
+def write_video(inputpath: str, outputname: str, img_num: int, fps: int = 10) -> str:
+    """Mask-optimization video export (``torchcam/IGOS.py:755-775`` capability).
+
+    The reference reads ``video{i}.jpg`` frames from ``inputpath`` and writes
+    an MJPG video via cv2. cv2 is not available here; the same frame sequence
+    is written as an animated GIF (PIL), which every viewer handles. If
+    ``outputname`` does not end in ``.gif`` the extension is replaced.
+
+    Returns the path written.
+    """
+    import os
+
+    from PIL import Image
+
+    frames = []
+    for i in range(img_num):
+        path = os.path.join(inputpath, f"video{i + 1}.jpg")
+        if not os.path.exists(path):  # reference also accepts .png frames here
+            path = os.path.join(inputpath, f"video{i + 1}.png")
+        frames.append(Image.open(path).convert("RGB"))
+    if not frames:
+        raise ValueError(f"no video*.jpg frames under {inputpath!r}")
+    out = os.path.splitext(outputname)[0] + ".gif"
+    frames[0].save(out, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+    return out

@@ -201,3 +201,19 @@ class TestIbaReferenceParity:
         got = np.asarray(_gaussian_smooth(
             jnp.asarray(x.transpose(0, 2, 3, 1)), sigma)).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestIgosVideoExport:
+    def test_write_video_gif(self, tmp_path):
+        from PIL import Image
+
+        from scouter_tpu.explain.igos import write_video
+
+        for i in range(3):
+            Image.fromarray(
+                np.full((8, 8, 3), i * 40, np.uint8)).save(tmp_path / f"video{i+1}.jpg")
+        out = write_video(str(tmp_path), str(tmp_path / "mask_evolution.avi"),
+                          img_num=3, fps=5)
+        assert out.endswith(".gif")
+        with Image.open(out) as im:
+            assert im.n_frames == 3

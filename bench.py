@@ -76,6 +76,51 @@ def slot_kernel_check():
         raise SystemExit(1)
 
 
+def serving_bench():
+    """CUB-200-scale serving latency (``python bench.py --serving``): the
+    fused-slot-kernel auto-selection's measured win region — resnest50d +
+    xSlot with S = 200x5 = 1000 slots, small batch, bf16 inference. Prints
+    one JSON line per (batch, slot-path) cell with device-side latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from scouter_tpu.core import ScouterConfig, setup_compilation_cache
+    from scouter_tpu.models import auto_fused_slot, build_slot_model
+
+    setup_compilation_cache()
+    cfg = ScouterConfig(
+        model="resnest50d", dataset="CUB200", num_classes=200, channel=2048,
+        use_slot=True, slots_per_class=5, power=2, loss_status=1, to_k_layer=3,
+        lambda_value=10.0, img_size=260, batch_size=1,
+    )
+    for bs in (1, 16):
+        auto = auto_fused_slot(cfg, train=False, batch_size=bs)
+        for fused in (False, True) if auto else (False,):
+            model = build_slot_model(cfg, fused_slot=fused, dtype=jnp.bfloat16)
+            x = jnp.zeros((bs, cfg.img_size, cfg.img_size, 3), jnp.float32)
+            variables = model.init(jax.random.PRNGKey(0), x)
+
+            @jax.jit
+            def forward(variables, images):
+                return model.apply(variables, images.astype(jnp.bfloat16))["logits"]
+
+            np.asarray(forward(variables, x))
+            for _ in range(3):
+                np.asarray(forward(variables, x))
+            iters = 50
+            t0 = time.perf_counter()
+            outs = [forward(variables, x) for _ in range(iters)]
+            np.asarray(outs[-1])
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            print(json.dumps({
+                "metric": "serving latency (resnest50d+xSlot S=1000, 260px, bf16)",
+                "batch": bs, "slot_path": "pallas_fused" if fused else "jnp",
+                "auto_selected": "pallas_fused" if auto else "jnp",
+                "value": round(ms, 3), "unit": "ms/batch",
+                "ms_per_image": round(ms / bs, 3),
+            }), flush=True)
+
+
 def main():
     import jax
 
@@ -129,5 +174,7 @@ def main():
 if __name__ == "__main__":
     if "--slot-kernel" in sys.argv:
         slot_kernel_check()
+    elif "--serving" in sys.argv:
+        serving_bench()
     else:
         main()

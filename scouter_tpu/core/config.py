@@ -89,6 +89,12 @@ class ScouterConfig:
     # matching the reference's DDP semantics (BN never synced, train.py:139-141).
     sync_bn: bool = True
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # dtype of the slot head (conv1x1 + xSlot) under bf16 training:
+    # 'compute' follows compute_dtype; 'float32' keeps the head fp32 — the
+    # default, because negative training (loss_status=-1) loses ~4 pts val acc
+    # in a full-bf16 head (docs/RESULTS_round3_bf16_negative.md) while the head
+    # is <1% of model FLOPs
+    slot_head_dtype: str = "float32"  # 'float32' | 'compute'
     seed: int = 0
 
     def replace(self, **kw) -> "ScouterConfig":
@@ -149,6 +155,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="True: global-batch BN stats; False: per-replica BN "
                         "(reference DDP semantics)")
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--slot_head_dtype", default="float32", choices=["float32", "compute"],
+                   help="keep the slot head fp32 under bf16 training (default) "
+                        "or follow compute_dtype")
     p.add_argument("--seed", default=0, type=int)
     return p
 

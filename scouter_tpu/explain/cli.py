@@ -84,7 +84,12 @@ def main(argv=None):
     cfg = config_from_args(ns)
     cfg = cfg.replace(use_pre=False)
 
-    model = build_slot_model(cfg)
+    # serving path (batch-1 inference): auto-select the fused Pallas kernel in
+    # its measured win region (large-S heads, small batch — models/__init__.py)
+    from ..models import auto_fused_slot
+
+    model = build_slot_model(cfg, fused_slot=auto_fused_slot(cfg, train=False,
+                                                             batch_size=1))
 
     import jax
     import jax.numpy as jnp

@@ -15,6 +15,7 @@ __all__ = [
     "ResNet",
     "SlotModel",
     "XSlot",
+    "auto_fused_slot",
     "build_slot_model",
     "create_model",
     "is_model",
@@ -24,6 +25,23 @@ __all__ = [
     "strip_prefix",
     "torch_state_dict_to_variables",
 ]
+
+
+def auto_fused_slot(cfg, train: bool, batch_size=None) -> bool:
+    """Pick the fused Pallas slot kernel where it measurably wins.
+
+    On-chip measurements (PARITY.md kernel table): inference with
+    S = num_classes * slots_per_class >= ~500 and per-device batch <= ~16
+    (small-batch serving of CUB-200-scale heads) runs ~23% faster in the
+    fused kernel; the jnp path wins or ties everywhere else, and wins
+    large-S training outright — so the kernel is selected only for
+    inference inside the measured region.
+    """
+    if train:
+        return False
+    s = cfg.num_classes * cfg.slots_per_class
+    b = cfg.batch_size if batch_size is None else batch_size
+    return bool(cfg.use_slot) and s >= 500 and b <= 16
 
 
 def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
@@ -43,6 +61,11 @@ def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
         mnist_stem=mnist,
         dtype=dtype,
     )
+    slot_dtype = None
+    if getattr(cfg, "slot_head_dtype", "float32") == "float32" and dtype is not None:
+        import jax.numpy as jnp
+
+        slot_dtype = jnp.float32
     return SlotModel(
         backbone=backbone,
         use_slot=cfg.use_slot,
@@ -56,4 +79,5 @@ def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
         fused_slot=fused_slot,
         interpret=interpret,
         dtype=dtype,
+        slot_dtype=slot_dtype,
     )

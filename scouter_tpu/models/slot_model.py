@@ -114,6 +114,12 @@ class SlotModel(nn.Module):
     fused_slot: bool = False
     interpret: bool = False
     dtype: Optional[jnp.dtype] = None
+    # dtype of the slot head (conv1x1 + PE + xSlot). None follows ``dtype``.
+    # Under bf16 training the default config keeps this fp32: the head is <1%
+    # of model FLOPs but negative-mode (loss_status=-1) logits are small
+    # differences of attended-feature sums, and bf16 rounding there costs ~4
+    # val points on the negative recipe (docs/RESULTS_round3_bf16_negative.md).
+    slot_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> SlotModelOutput:
@@ -126,8 +132,10 @@ class SlotModel(nn.Module):
             return {"logits": logits}
 
         feats = self.backbone(x, train=train, features_only=True)  # (B, fs, fs, C)
+        head_dtype = self.slot_dtype if self.slot_dtype is not None else self.dtype
+        feats = feats.astype(head_dtype or jnp.float32)
         b, fh, fw, _ = feats.shape
-        feats = nn.Conv(self.hidden_dim, (1, 1), use_bias=True, dtype=self.dtype,
+        feats = nn.Conv(self.hidden_dim, (1, 1), use_bias=True, dtype=head_dtype,
                         name="conv1x1")(feats)
         feats = jax.nn.relu(feats)
         pe = sine_position_embedding(fh, fw, self.hidden_dim, dtype=feats.dtype)
@@ -145,7 +153,7 @@ class SlotModel(nn.Module):
             to_k_layer=self.to_k_layer,
             fused=self.fused_slot,
             interpret=self.interpret,
-            dtype=self.dtype,
+            dtype=head_dtype,
             name="slot",
         )(inputs_pe, inputs_x)
         return {"logits": logits, "area_loss": area, "attn": attn}

@@ -122,3 +122,22 @@ def test_mnist_slot_model_builds_and_runs():
     out = model.apply(variables, x)
     assert out["logits"].shape == (2, 10)
     assert out["attn"].shape == (2, 10, 4)  # 64px -> 2x2 features
+
+
+class TestAutoFusedSlot:
+    """Config-based fused-kernel auto-selection (PARITY.md measured win region)."""
+
+    def test_win_region(self):
+        from scouter_tpu.models import auto_fused_slot
+
+        cub = ScouterConfig(model="resnest50d", dataset="CUB200",
+                            num_classes=200, channel=2048, use_slot=True,
+                            slots_per_class=5, batch_size=64)
+        assert auto_fused_slot(cub, train=False, batch_size=1)
+        assert auto_fused_slot(cub, train=False, batch_size=16)
+        assert not auto_fused_slot(cub, train=False, batch_size=64)
+        assert not auto_fused_slot(cub, train=True, batch_size=1)
+        small = cub.replace(num_classes=25)  # S=125 < 500
+        assert not auto_fused_slot(small, train=False, batch_size=1)
+        no_slot = cub.replace(use_slot=False)
+        assert not auto_fused_slot(no_slot, train=False, batch_size=1)

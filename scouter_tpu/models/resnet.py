@@ -26,6 +26,7 @@ from .act import residual_add as _residual_add
 from .pruned import WidthOverrides, scope_widths, width_of
 from .layers import (
     Eca,
+    SpaceToDepthStemConv,
     SplitAttnConv,
     SqueezeExcite,
     avg_pool_ceil_exclude_pad,
@@ -499,6 +500,10 @@ class ResNet(nn.Module):
     sk_split_input: bool = False
     drop_rate: float = 0.0
     mnist_stem: bool = False
+    # lower the stem's first stride-2 conv through space-to-depth (exact
+    # arithmetic, better MXU shape for the 1-3-channel input tile; see
+    # layers.SpaceToDepthStemConv). Off by default; enabled by the TPU bench.
+    s2d_stem: bool = False
     # pruned-channel surgery table (timm adapt_model_from_file capability,
     # helpers.py:146-196): torch-style conv prefix -> out_channels
     widths: WidthOverrides = None
@@ -535,7 +540,10 @@ class ResNet(nn.Module):
         if start_from is not None:
             pass  # x is already an intermediate stage output
         elif self.mnist_stem:
-            x = conv2d(64, 3, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
+            if self.s2d_stem:
+                x = SpaceToDepthStemConv(64, 3, dtype=self.dtype, name="conv1")(x)
+            else:
+                x = conv2d(64, 3, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
             inplanes = 64
         elif deep_stem:
             if "tiered" in self.stem_type:
@@ -545,8 +553,12 @@ class ResNet(nn.Module):
                 )
             else:
                 stem_chs_1 = stem_chs_2 = self.stem_width
-            x = conv2d(width_of(self.widths, "conv1.0", stem_chs_1), 3, stride=2,
-                       padding=1, dtype=self.dtype, name="conv1_0")(x)
+            stem0 = width_of(self.widths, "conv1.0", stem_chs_1)
+            if self.s2d_stem:
+                x = SpaceToDepthStemConv(stem0, 3, dtype=self.dtype, name="conv1_0")(x)
+            else:
+                x = conv2d(stem0, 3, stride=2, padding=1, dtype=self.dtype,
+                           name="conv1_0")(x)
             x = batch_norm(train, dtype=self.dtype, name="conv1_1")(x)
             x = _act_relu(x)
             x = conv2d(width_of(self.widths, "conv1.3", stem_chs_2), 3, padding=1,
@@ -555,6 +567,8 @@ class ResNet(nn.Module):
             x = _act_relu(x)
             x = conv2d(width_of(self.widths, "conv1.6", inplanes), 3, padding=1,
                        dtype=self.dtype, name="conv1_6")(x)
+        elif self.s2d_stem:
+            x = SpaceToDepthStemConv(inplanes, 7, dtype=self.dtype, name="conv1")(x)
         else:
             x = conv2d(inplanes, 7, stride=2, padding=3, dtype=self.dtype, name="conv1")(x)
         if start_from is None:

@@ -168,3 +168,50 @@ class TestCreateAttnInResNet:
         out = np.asarray(adaptive_avgmax_pool(x))
         want = 0.5 * (np.mean(np.asarray(x), (1, 2)) + np.max(np.asarray(x), (1, 2)))
         np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+class TestSpaceToDepthStem:
+    """SpaceToDepthStemConv must be arithmetically exact vs the strided conv."""
+
+    def _compare(self, k, h, cin=3):
+        import jax
+        import jax.numpy as jnp
+
+        from scouter_tpu.models.layers import SpaceToDepthStemConv
+
+        rng = np.random.RandomState(k)
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        mod = SpaceToDepthStemConv(16, k)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(variables, x)
+        p = (k - 1) // 2
+        ref = jax.lax.conv_general_dilated(
+            x, variables["params"]["kernel"], (2, 2), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_k3_even(self):
+        self._compare(3, 32)
+
+    def test_k7_even(self):
+        self._compare(7, 32)
+
+    def test_k3_odd_falls_back(self):
+        self._compare(3, 33)
+
+    def test_whole_model_equivalence(self):
+        import jax
+        import jax.numpy as jnp
+
+        from scouter_tpu.models import create_model
+
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32))
+        plain = create_model("resnest26d", num_classes=5)
+        s2d = create_model("resnest26d", num_classes=5, s2d_stem=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        a = plain.apply(variables, x)
+        b = s2d.apply(variables, x)  # same params by construction
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

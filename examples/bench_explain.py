@@ -82,13 +82,102 @@ def main():
     emit("extremal_perturbation", dt, {"iters": 800, "areas": 1, "img": size})
 
     # --- CAM-family single-shot (forward + one backward) ---
-    from scouter_tpu.explain.cam import gradcam
+    from scouter_tpu.explain.cam import (
+        backbone_split, gradcam, gradcampp, isscam, scorecam, smooth_gradcampp,
+        sscam,
+    )
 
     g = jax.jit(lambda v, im: gradcam(model, v, im, 0))
     np.asarray(g(variables, x))
     t0 = time.perf_counter()
     np.asarray(g(variables, x))
     emit("grad_cam", time.perf_counter() - t0, {"img": size})
+
+    def timed(name, fn, detail, reps=1):
+        np.asarray(fn())  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn())
+        emit(name, (time.perf_counter() - t0) / reps, detail)
+
+    key = jax.random.PRNGKey(2)
+    timed("grad_cam_pp", lambda: gradcampp(model, variables, x, 0), {"img": size})
+    timed("smooth_grad_cam_pp",
+          lambda: smooth_gradcampp(model, variables, x, 0, key=key),
+          {"img": size, "samples": 4})
+    # masked-rescoring family: one masked forward per surviving channel
+    # (reference: sequential per-channel forwards, cam.py:225-256)
+    timed("score_cam", lambda: scorecam(model, variables, x, 0),
+          {"img": size, "note": "one masked forward per channel, batched"})
+    timed("ss_cam", lambda: sscam(model, variables, x, 0, key=key),
+          {"img": size, "samples": 35})
+    timed("is_cam", lambda: isscam(model, variables, x, 0),
+          {"img": size, "steps": 10})
+
+    # --- backprop family (torchray/attribution/*) ---
+    from scouter_tpu.explain.backprop import (
+        deconvnet, gradient_saliency, guided_backprop,
+    )
+    from scouter_tpu.explain.excitation import (
+        contrastive_excitation_backprop, excitation_backprop,
+    )
+
+    timed("gradient", lambda: gradient_saliency(model, variables, x, 0), {"img": size})
+    timed("deconvnet", lambda: deconvnet(model, variables, x, 0), {"img": size})
+    timed("guided_backprop", lambda: guided_backprop(model, variables, x, 0),
+          {"img": size})
+    timed("excitation_backprop",
+          lambda: excitation_backprop(model, variables, x, 0), {"img": size})
+    timed("contrastive_eb",
+          lambda: contrastive_excitation_backprop(model, variables, x, 0),
+          {"img": size})
+
+    # --- IGOS: full reference config (15 outer x 20 integration steps) ---
+    from scouter_tpu.explain.igos import gaussian_blur_baseline, integrated_mask
+
+    blurred = gaussian_blur_baseline(x)
+    res = integrated_mask(forward, x, blurred, 0, jax.random.PRNGKey(3))
+    np.asarray(res.mask)
+    t0 = time.perf_counter()
+    res = integrated_mask(forward, x, blurred, 0, jax.random.PRNGKey(3))
+    np.asarray(res.mask)
+    emit("igos", time.perf_counter() - t0,
+         {"outer_iters": 15, "integ_iter": 20, "img": size,
+          "note": "reference cost: 15x20 fwd/bwd per class (IGOS.py:234)"})
+
+    # --- IBA: the reference's heaviest path — estimate over 5,000 images
+    # (torchcam_vis.py:194-204) + per-class analyze (:206-228) ---
+    from scouter_tpu.explain.iba import estimate_stats, iba_analyze
+
+    features, head, _fwd = backbone_split(model, variables)
+    feat_j = jax.jit(features)
+    rng = np.random.RandomState(7)
+    est_bs, n_est = 50, 5000
+    t0 = time.perf_counter()
+    stats = estimate_stats(
+        lambda b: feat_j(jnp.asarray(b)),
+        (rng.randn(est_bs, size, size, 3).astype(np.float32)
+         for _ in range(n_est // est_bs)),
+    )
+    emit("iba_estimate", time.perf_counter() - t0,
+         {"samples": n_est, "batch": est_bs, "img": size,
+          "note": "Welford mean/std over the bottleneck features"})
+
+    def readout_loss(z):
+        logp = jax.nn.log_softmax(head(z), axis=1)
+        return -logp[:, 0].mean()
+
+    sal = iba_analyze(features, readout_loss, x, stats, jax.random.PRNGKey(4))
+    np.asarray(sal)
+    t0 = time.perf_counter()
+    for c in range(10):
+        def rl(z, c=c):
+            logp = jax.nn.log_softmax(head(z), axis=1)
+            return -logp[:, c].mean()
+
+        np.asarray(iba_analyze(features, rl, x, stats, jax.random.PRNGKey(4)))
+    emit("iba_analyze_all_classes", time.perf_counter() - t0,
+         {"classes": 10, "opt_steps": 10, "noise_batch": 10, "img": size})
 
 
 def torch_cpu_comparison(args):

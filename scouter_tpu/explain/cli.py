@@ -84,8 +84,9 @@ def main(argv=None):
     cfg = config_from_args(ns)
     cfg = cfg.replace(use_pre=False)
 
-    # serving path (batch-1 inference): auto-select the fused Pallas kernel in
-    # its measured win region (large-S heads, small batch — models/__init__.py)
+    # serving path (batch-1 inference): the selection hook currently always
+    # picks the jnp path — the fused kernel lost the round-3 end-to-end
+    # serving measurement and is parked as opt-in (models/__init__.py)
     from ..models import auto_fused_slot
 
     model = build_slot_model(cfg, fused_slot=auto_fused_slot(cfg, train=False,

@@ -28,20 +28,22 @@ __all__ = [
 
 
 def auto_fused_slot(cfg, train: bool, batch_size=None) -> bool:
-    """Pick the fused Pallas slot kernel where it measurably wins.
+    """Serving-path slot-kernel selection hook.
 
-    On-chip measurements (PARITY.md kernel table): inference with
-    S = num_classes * slots_per_class >= ~500 and per-device batch <= ~16
-    (small-batch serving of CUB-200-scale heads) runs ~23% faster in the
-    fused kernel; the jnp path wins or ties everywhere else, and wins
-    large-S training outright — so the kernel is selected only for
-    inference inside the measured region.
+    DECISION (2026-08-17, round 3): returns False for every config — the
+    fused Pallas kernel stays OPT-IN. Round 2's op-level measurement showed a
+    -23% win at S=1000/B=16 in isolation, but the round-3 END-TO-END serving
+    measurement (``python bench.py --serving``, resnest50d + xSlot S=1000,
+    260px, bf16) shows whole-model latency is NOT improved: bs=1 is 21%
+    SLOWER fused (1.98 vs 1.64 ms) and bs=16 ties (3.87 vs 3.84 ms) — in
+    context XLA fuses the jnp slot ops with their producers/consumers, which
+    the Pallas call boundary prevents. The kernel remains available via
+    ``build_slot_model(cfg, fused_slot=True)`` and stays parity-tested
+    (tests/test_slot_pallas.py, ``bench.py --slot-kernel``); revisit only
+    with an end-to-end measurement of a new config.
     """
-    if train:
-        return False
-    s = cfg.num_classes * cfg.slots_per_class
-    b = cfg.batch_size if batch_size is None else batch_size
-    return bool(cfg.use_slot) and s >= 500 and b <= 16
+    del cfg, train, batch_size
+    return False
 
 
 def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,

@@ -125,19 +125,17 @@ def test_mnist_slot_model_builds_and_runs():
 
 
 class TestAutoFusedSlot:
-    """Config-based fused-kernel auto-selection (PARITY.md measured win region)."""
+    """Fused-kernel selection hook: parked as opt-in (round-3 end-to-end
+    serving measurement — see models/__init__.py docstring)."""
 
-    def test_win_region(self):
+    def test_decision_is_opt_in(self):
         from scouter_tpu.models import auto_fused_slot
 
         cub = ScouterConfig(model="resnest50d", dataset="CUB200",
                             num_classes=200, channel=2048, use_slot=True,
                             slots_per_class=5, batch_size=64)
-        assert auto_fused_slot(cub, train=False, batch_size=1)
-        assert auto_fused_slot(cub, train=False, batch_size=16)
-        assert not auto_fused_slot(cub, train=False, batch_size=64)
+        # even the op-level win region is NOT auto-selected: end-to-end the
+        # jnp path wins (bs=1) or ties (bs=16)
+        assert not auto_fused_slot(cub, train=False, batch_size=1)
+        assert not auto_fused_slot(cub, train=False, batch_size=16)
         assert not auto_fused_slot(cub, train=True, batch_size=1)
-        small = cub.replace(num_classes=25)  # S=125 < 500
-        assert not auto_fused_slot(small, train=False, batch_size=1)
-        no_slot = cub.replace(use_slot=False)
-        assert not auto_fused_slot(no_slot, train=False, batch_size=1)

@@ -139,8 +139,11 @@ def main():
         lambda_value=1.0, img_size=224, batch_size=70,
     )
     # bf16 compute dtype end-to-end (fp32 master params, bf16 activations and
-    # conv/matmul compute on the MXU): 1.4x over fp32 params on v5e
-    model = build_slot_model(cfg, dtype=jnp.bfloat16)
+    # conv/matmul compute on the MXU): 1.4x over fp32 params on v5e.
+    # --s2d: lower the stem's first conv through space-to-depth (exact; see
+    # models/layers.py::SpaceToDepthStemConv) to measure the stem-MXU-shape fix.
+    bk = {"s2d_stem": True} if "--s2d" in sys.argv else None
+    model = build_slot_model(cfg, dtype=jnp.bfloat16, backbone_kwargs=bk)
     x = jnp.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x, jnp.float32))
 
@@ -163,8 +166,9 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s = cfg.batch_size * iters / dt
+    suffix = ", s2d stem" if bk else ""
     print(json.dumps({
-        "metric": "images/sec/chip (resnest26d+xSlot, 224px, bs=70, inference)",
+        "metric": f"images/sec/chip (resnest26d+xSlot, 224px, bs=70, inference{suffix})",
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / A100_TORCH_BASELINE_IMG_S, 3),

@@ -47,7 +47,7 @@ def auto_fused_slot(cfg, train: bool, batch_size=None) -> bool:
 
 
 def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
-                     dtype=None) -> SlotModel:
+                     dtype=None, backbone_kwargs=None) -> SlotModel:
     """Build the SlotModel from a ScouterConfig (load_backbone + SlotModel parity,
     ``sloter/slot_model.py:18-77``).
 
@@ -62,6 +62,7 @@ def build_slot_model(cfg, fused_slot: bool = False, interpret: bool = False,
         in_chans=1 if mnist else 3,
         mnist_stem=mnist,
         dtype=dtype,
+        **(backbone_kwargs or {}),
     )
     slot_dtype = None
     if getattr(cfg, "slot_head_dtype", "float32") == "float32" and dtype is not None:

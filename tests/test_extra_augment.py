@@ -31,3 +31,57 @@ def test_random_erasing_erases_some_pixels():
     assert changed.all()
     out2 = random_erasing(images, jax.random.PRNGKey(1), probability=0.0)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(images))
+
+
+class TestTfPreprocessing:
+    """timm tf_preprocessing behavioral contract (tf_preprocessing.py:86-226)."""
+
+    def _img(self, h=100, w=150):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        return Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+
+    def test_eval_center_crop_padding(self):
+        from scouter_tpu.data.tf_pre import CROP_PADDING, TfPreprocessTransform, center_crop_box
+
+        t = TfPreprocessTransform(is_training=False, size=224)
+        out = t(self._img(300, 400))
+        assert out.shape == (224, 224, 3) and out.dtype == np.float32
+        assert 0.0 <= out.min() and out.max() <= 255.0
+        # crop size formula: size/(size+32) * min(h,w)
+        top, left, ch, cw = center_crop_box(300, 400, 224)
+        assert ch == cw == int(224 / (224 + CROP_PADDING) * 300)
+        assert top == ((300 - ch) + 1) // 2 and left == ((400 - cw) + 1) // 2
+
+    def test_train_crop_within_constraints(self):
+        from scouter_tpu.data.tf_pre import random_crop_box
+
+        rng = np.random.RandomState(3)
+        for _ in range(50):
+            box = random_crop_box(200, 300, rng)
+            assert box is not None
+            top, left, ch, cw = box
+            assert 0 <= top and top + ch <= 200
+            assert 0 <= left and left + cw <= 300
+            area_frac = (ch * cw) / (200 * 300)
+            assert 0.05 <= area_frac <= 1.01
+            assert 0.70 <= cw / ch <= 1.40  # aspect range with int rounding
+
+    def test_train_is_stochastic_and_shaped(self):
+        from scouter_tpu.data.tf_pre import TfPreprocessTransform
+
+        t = TfPreprocessTransform(is_training=True, size=64, seed=1)
+        a, b = t(self._img()), t(self._img())
+        assert a.shape == b.shape == (64, 64, 3)
+        assert not np.array_equal(a, b)
+
+    def test_bytes_input(self):
+        import io
+
+        from scouter_tpu.data.tf_pre import TfPreprocessTransform
+
+        buf = io.BytesIO()
+        self._img().save(buf, format="PNG")
+        out = TfPreprocessTransform(is_training=False, size=32)(buf.getvalue())
+        assert out.shape == (32, 32, 3)

@@ -172,6 +172,9 @@ def main():
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / A100_TORCH_BASELINE_IMG_S, 3),
+        # the A100 torch baseline is an ESTIMATE (see module docstring);
+        # honest range for the ratio given the 5-10% A100-MFU bracket:
+        "vs_baseline_bracket": [round(img_s / 4200.0, 2), round(img_s / 2100.0, 2)],
     }))
 
 

@@ -100,19 +100,23 @@ def main():
             np.asarray(fn())
         emit(name, (time.perf_counter() - t0) / reps, detail)
 
+    # each method compiled to ONE device program (jit) so the timing is device
+    # time, not per-op dispatch over the tunnel
     key = jax.random.PRNGKey(2)
-    timed("grad_cam_pp", lambda: gradcampp(model, variables, x, 0), {"img": size})
-    timed("smooth_grad_cam_pp",
-          lambda: smooth_gradcampp(model, variables, x, 0, key=key),
+    j_gcpp = jax.jit(lambda v, im: gradcampp(model, v, im, 0))
+    timed("grad_cam_pp", lambda: j_gcpp(variables, x), {"img": size})
+    j_sgcpp = jax.jit(lambda v, im, k: smooth_gradcampp(model, v, im, 0, key=k))
+    timed("smooth_grad_cam_pp", lambda: j_sgcpp(variables, x, key),
           {"img": size, "samples": 4})
     # masked-rescoring family: one masked forward per surviving channel
     # (reference: sequential per-channel forwards, cam.py:225-256)
-    timed("score_cam", lambda: scorecam(model, variables, x, 0),
+    j_score = jax.jit(lambda v, im: scorecam(model, v, im, 0))
+    timed("score_cam", lambda: j_score(variables, x),
           {"img": size, "note": "one masked forward per channel, batched"})
-    timed("ss_cam", lambda: sscam(model, variables, x, 0, key=key),
-          {"img": size, "samples": 35})
-    timed("is_cam", lambda: isscam(model, variables, x, 0),
-          {"img": size, "steps": 10})
+    j_ss = jax.jit(lambda v, im, k: sscam(model, v, im, 0, key=k))
+    timed("ss_cam", lambda: j_ss(variables, x, key), {"img": size, "samples": 35})
+    j_is = jax.jit(lambda v, im: isscam(model, v, im, 0))
+    timed("is_cam", lambda: j_is(variables, x), {"img": size, "steps": 10})
 
     # --- backprop family (torchray/attribution/*) ---
     from scouter_tpu.explain.backprop import (
@@ -122,15 +126,15 @@ def main():
         contrastive_excitation_backprop, excitation_backprop,
     )
 
-    timed("gradient", lambda: gradient_saliency(model, variables, x, 0), {"img": size})
-    timed("deconvnet", lambda: deconvnet(model, variables, x, 0), {"img": size})
-    timed("guided_backprop", lambda: guided_backprop(model, variables, x, 0),
-          {"img": size})
-    timed("excitation_backprop",
-          lambda: excitation_backprop(model, variables, x, 0), {"img": size})
-    timed("contrastive_eb",
-          lambda: contrastive_excitation_backprop(model, variables, x, 0),
-          {"img": size})
+    for name, fn in (
+        ("gradient", gradient_saliency),
+        ("deconvnet", deconvnet),
+        ("guided_backprop", guided_backprop),
+        ("excitation_backprop", excitation_backprop),
+        ("contrastive_eb", contrastive_excitation_backprop),
+    ):
+        jfn = jax.jit(lambda v, im, f=fn: f(model, v, im, 0))
+        timed(name, lambda j=jfn: j(variables, x), {"img": size})
 
     # --- IGOS: full reference config (15 outer x 20 integration steps) ---
     from scouter_tpu.explain.igos import gaussian_blur_baseline, integrated_mask
@@ -153,11 +157,13 @@ def main():
     feat_j = jax.jit(features)
     rng = np.random.RandomState(7)
     est_bs, n_est = 50, 5000
+    # one pre-generated device batch reused per step: the measurement is the
+    # 5,000 bottleneck forwards + Welford update, not host RNG throughput
+    est_batch = jnp.asarray(rng.randn(est_bs, size, size, 3).astype(np.float32))
+    np.asarray(feat_j(est_batch))  # compile
     t0 = time.perf_counter()
     stats = estimate_stats(
-        lambda b: feat_j(jnp.asarray(b)),
-        (rng.randn(est_bs, size, size, 3).astype(np.float32)
-         for _ in range(n_est // est_bs)),
+        lambda b: feat_j(b), (est_batch for _ in range(n_est // est_bs)),
     )
     emit("iba_estimate", time.perf_counter() - t0,
          {"samples": n_est, "batch": est_bs, "img": size,

@@ -51,7 +51,9 @@ def make_synthetic_voc(n, seed, size=224, blob_r=30):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="vgg16", choices=["vgg16", "resnet50"])
+    # default resnet50: the caffe VGG16's 134M fp32 params exceed the remote
+    # TPU tunnel's compile-request size limit (HTTP 413) in this environment
+    ap.add_argument("--arch", default="resnet50", choices=["vgg16", "resnet50"])
     ap.add_argument("--train_steps", type=int, default=300)
     ap.add_argument("--n_eval", type=int, default=50)
     ap.add_argument("--rise_masks", type=int, default=2000)
@@ -80,29 +82,40 @@ def main():
     # --- brief training so saliency reflects learned evidence ---
     tr_x, tr_y, _ = make_synthetic_voc(512, seed=0, size=size)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats")
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, xb, yb):
+    def train_step(params, batch_stats, opt_state, xb, yb):
         def loss_fn(p):
-            logits = model.apply({"params": p}, xb)
+            v = {"params": p}
+            if batch_stats is not None:
+                v["batch_stats"] = batch_stats
+                logits, mut = model.apply(v, xb, train=True,
+                                          mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                logits, new_stats = model.apply(v, xb), None
             logp = jax.nn.log_softmax(logits, axis=1)
-            return -jnp.take_along_axis(logp, yb[:, None], axis=1).mean()
+            return -jnp.take_along_axis(logp, yb[:, None], axis=1).mean(), new_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return optax.apply_updates(params, updates), new_stats, opt_state2, loss
 
     rng = np.random.RandomState(1)
     bs = 16
     t0 = time.time()
     for step in range(args.train_steps):
         sel = rng.randint(0, len(tr_x), bs)
-        params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(tr_x[sel]), jnp.asarray(tr_y[sel]))
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state,
+            jnp.asarray(tr_x[sel]), jnp.asarray(tr_y[sel]))
     train_wall = time.time() - t0
     variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
 
     te_x, te_y, te_m = make_synthetic_voc(args.n_eval, seed=9, size=size)
     logits = np.asarray(model.apply(variables, jnp.asarray(te_x[:32])))
@@ -121,9 +134,10 @@ def main():
         return np.asarray(grad_fn(jnp.asarray(image, jnp.float32), c))
 
     def rise_saliency(image, c):
+        # rise returns (num_classes, H, W)
         sal = rise(forward, jnp.asarray(image, jnp.float32)[None],
                    jax.random.PRNGKey(5), num_masks=args.rise_masks)
-        return np.asarray(sal)[0, c]
+        return np.asarray(sal)[c]
 
     def extremal_saliency(image, c):
         masks, _ = extremal_perturbation(

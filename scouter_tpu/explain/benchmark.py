@@ -84,6 +84,10 @@ def run_pointing_benchmark(
     game = PointingGame(num_classes, tolerance=tolerance)
     for idx, (image, class_id, mask) in enumerate(dataset):
         sal = np.asarray(saliency_fn(image, class_id))
+        if sal.ndim != 2:
+            raise ValueError(
+                f"saliency_fn must return a 2-D (h, w) map, got {sal.shape} — "
+                "per-class methods should be indexed before returning")
         if sal.shape != mask.shape:
             try:
                 import jax

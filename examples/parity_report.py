@@ -519,10 +519,193 @@ def run_full_recipe(epochs=4, n_train=512, n_val=128, batch_size=8,
     return result
 
 
+def _torch_agreement(ref_a, ref_b, val_arrays, batch_size):
+    """Top-1 agreement between two torch reference models (the torch-vs-torch
+    analogue of _final_agreement)."""
+    import torch
+
+    x_va, y_va = val_arrays
+    ref_a.eval()
+    ref_b.eval()
+    agree = a_c = b_c = total = 0
+    with torch.no_grad():
+        for s in range(0, len(x_va), batch_size):
+            xb = torch.from_numpy(x_va[s:s + batch_size].transpose(0, 3, 1, 2))
+            yb = y_va[s:s + batch_size]
+            pa = ref_a(xb).argmax(1).numpy()
+            pb = ref_b(xb).argmax(1).numpy()
+            agree += int((pa == pb).sum())
+            a_c += int((pa == yb).sum())
+            b_c += int((pb == yb).sum())
+            total += len(yb)
+    return {"agreement": agree / total, "acc_a": a_c / total,
+            "acc_b": b_c / total, "n": total}
+
+
+def run_chaos_control(epochs=4, n_train=512, n_val=128, batch_size=8,
+                      img_size=260, lr=1e-4, seed=0, eps=1e-6, out_path=None):
+    """Lyapunov control for the full-recipe parity numbers: train the TORCH
+    reference negative-SCOUTER recipe (the same from-scratch stage 3 as
+    run_full_recipe, README.md:99-105) TWICE, from inits that differ by a
+    single eps added to one conv1 weight element, with everything else —
+    batch stream, order, optimizer, thread count — identical.
+
+    If torch-vs-torch(eps) shows the same per-epoch val-accuracy scatter and
+    final top-1 disagreement as torch-vs-jax did at the same horizon, then the
+    cross-framework deltas are at the floor set by fp32 chaos in the slot
+    renorm (sloter/utils/slot_attention.py:56-60 — sigmoid saturation + the
+    dots/row_sum*total renorm amplify ulp-scale differences), not by a
+    framework divergence.
+    """
+    import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from scouter_tpu.core import ScouterConfig
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    cfg = ScouterConfig(model="resnet18", dataset="MNIST", num_classes=10,
+                        channel=512, img_size=img_size, batch_size=batch_size,
+                        pre_trained=False, freeze_layers=0, use_slot=True,
+                        use_pre=False, loss_status=-1, slots_per_class=2,
+                        power=2, to_k_layer=1, lambda_value=1.5)
+    stage_seed = seed + 2  # the same seed stage 3 used in run_full_recipe
+    torch.manual_seed(stage_seed)
+    ref_a = _make_ref_slot_model(cfg)
+    torch.manual_seed(stage_seed)
+    ref_b = _make_ref_slot_model(cfg)
+    with torch.no_grad():
+        w = dict(ref_b.named_parameters())["backbone.conv1.weight"]
+        w.view(-1)[0] += eps
+    accs_a = _torch_recipe(ref_a, train_arrays, val_arrays, epochs, batch_size,
+                           lr, 70, stage_seed)
+    accs_b = _torch_recipe(ref_b, train_arrays, val_arrays, epochs, batch_size,
+                           lr, 70, stage_seed)
+    final = _torch_agreement(ref_a, ref_b, val_arrays, batch_size)
+    result = {
+        "control": f"torch vs torch(+{eps:g} on one conv1 weight), negative "
+                   f"SCOUTER recipe, {epochs} epochs x "
+                   f"{n_train // batch_size} steps",
+        "torch_a_val_acc": accs_a, "torch_b_val_acc": accs_b, "final": final,
+    }
+    lines = ["# Chaos control: torch vs eps-perturbed torch "
+             "(negative SCOUTER recipe)", "", result["control"], "",
+             "| epoch | torch(a) val acc | torch(b=a+eps) val acc | delta (pt) |",
+             "|---|---|---|---|"]
+    for e, (a, b) in enumerate(zip(accs_a, accs_b)):
+        lines.append(f"| {e + 1} | {a:.4f} | {b:.4f} | {100 * (b - a):+.2f} |")
+    lines += ["", f"final: top-1 agreement {final['agreement']:.4f} "
+                  f"(a {final['acc_a']:.4f}, b {final['acc_b']:.4f}, "
+                  f"n={final['n']})", ""]
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2)
+    return result
+
+
+def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
+                             img_size=260, lr=1e-4, seed=0, probes=8,
+                             out_path=None):
+    """Extended-horizon convergence comparison on the from-scratch negative
+    SCOUTER recipe (README.md:99-105): train BOTH frameworks from identical
+    init for `epochs` epochs (default 20 x 64 = 1280 optimizer steps) and
+    compare the val-accuracy trajectories once past the chaotic early-training
+    regime, plus final agreement and trained-model heatmap IoU.
+
+    The 4-epoch full-recipe chain compares models at 8-33% accuracy where
+    fp32 chaos dominates; this run checks the claim that both frameworks
+    converge to statistically equivalent accuracy at the plateau.
+    """
+    import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.core import ScouterConfig
+    from scouter_tpu.models import torch_state_dict_to_variables
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    probe_imgs = val_arrays[0][:probes]
+    cfg = ScouterConfig(model="resnet18", dataset="MNIST", num_classes=10,
+                        channel=512, img_size=img_size, batch_size=batch_size,
+                        pre_trained=False, freeze_layers=0, use_slot=True,
+                        use_pre=False, loss_status=-1, slots_per_class=2,
+                        power=2, to_k_layer=1, lambda_value=1.5)
+    stage_seed = seed + 2
+    torch.manual_seed(stage_seed)
+    ref = _make_ref_slot_model(cfg)
+    variables = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in ref.state_dict().items()})
+    t_accs = _torch_recipe(ref, train_arrays, val_arrays, epochs, batch_size,
+                           lr, 70, stage_seed)
+    state, j_accs, model = _jax_recipe(cfg, variables, train_arrays,
+                                       val_arrays, epochs, batch_size, lr,
+                                       stage_seed)
+    final = _final_agreement(ref, model, state, val_arrays, batch_size)
+    iou = _aggregate_iou(
+        _heatmap_reports(ref, model, state.variables(), probe_imgs, cfg),
+        cfg.num_classes)
+    result = {
+        "data": f"SYNTHETIC MNIST ({n_train} train / {n_val} val, {img_size}px,"
+                f" {epochs} epochs, bs={batch_size}, "
+                f"{epochs * (n_train // batch_size)} steps)",
+        "torch_val_acc": t_accs, "jax_val_acc": j_accs, "final": final,
+        "heatmap_iou_mean": iou["mean"], "heatmap_iou_per_class": iou["per_class"],
+    }
+    lines = ["# Extended-horizon convergence: negative SCOUTER, "
+             "torch reference vs scouter-tpu", "", result["data"], "",
+             "| epoch | torch val acc | jax val acc | delta (pt) |",
+             "|---|---|---|---|"]
+    for e, (t, j) in enumerate(zip(t_accs, j_accs)):
+        lines.append(f"| {e + 1} | {t:.4f} | {j:.4f} | {100 * (j - t):+.2f} |")
+    m = iou["mean"]
+    lines += ["", f"final: top-1 agreement {final['agreement']:.4f} "
+                  f"(torch {final['torch_acc']:.4f}, jax "
+                  f"{final['jax_acc']:.4f}, n={final['n']})",
+              f"trained-model heatmap IoU (mean over {probes} probes): "
+              f"soft {m['soft_iou']:.4f}, @128 {m['iou@128']:.4f}", ""]
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2)
+    return result
+
+
 def main(argv=None):
     from scouter_tpu.core import ScouterConfig
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--mode", default="parity",
+                    choices=["parity", "full-recipe", "chaos-control",
+                             "negative-convergence"],
+                    help="parity: short side-by-side trajectory (default); "
+                         "full-recipe: the 3-stage README chain in both "
+                         "frameworks; chaos-control: torch vs eps-perturbed "
+                         "torch (Lyapunov floor); negative-convergence: "
+                         "extended-horizon plateau comparison")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="epochs per stage for the recipe modes")
+    ap.add_argument("--out_path", default=None,
+                    help="report path for the recipe modes")
     ap.add_argument("--model", default="resnet18")
     ap.add_argument("--dataset", default="ImageNet")
     ap.add_argument("--num_classes", type=int, default=4)
@@ -543,6 +726,16 @@ def main(argv=None):
                     help="real dataset root; omit for the synthetic stream")
     ap.add_argument("--out_dir", default=None)
     ns = ap.parse_args(argv)
+
+    if ns.mode != "parity":
+        kwargs = dict(lr=ns.lr, seed=ns.seed, out_path=ns.out_path)
+        if ns.epochs is not None:
+            kwargs["epochs"] = ns.epochs
+        fn = {"full-recipe": run_full_recipe,
+              "chaos-control": run_chaos_control,
+              "negative-convergence": run_negative_convergence}[ns.mode]
+        fn(**kwargs)
+        return
 
     cfg = ScouterConfig(
         model=ns.model, dataset=ns.dataset, num_classes=ns.num_classes,

@@ -23,6 +23,9 @@ Usage:
     python examples/parity_report.py                       # quick synthetic run
     python examples/parity_report.py --steps 30 --probes 8
     python examples/parity_report.py --dataset MNIST --data_dir /path/to/mnist
+    python examples/parity_report.py --mode full-recipe    # 3-stage README chain
+    python examples/parity_report.py --mode chaos-control  # fp32 Lyapunov floor
+    python examples/parity_report.py --mode negative-convergence --epochs 20
 
 Needs the reference checkout at /root/reference (uses the dependency stubs in
 tests/test_models.py). This is a development/verification tool, not part of the

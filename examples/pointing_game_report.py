@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--train_steps", type=int, default=300)
     ap.add_argument("--n_eval", type=int, default=50)
     ap.add_argument("--rise_masks", type=int, default=2000)
+    ap.add_argument("--methods", default=None,
+                    help="comma list; default = every method in the grid")
+    ap.add_argument("--append", action="store_true",
+                    help="merge results into an existing report/store instead "
+                         "of starting fresh (same-named methods overwritten)")
     ap.add_argument("--out", default="docs/POINTING_GAME_r3.md")
     ap.add_argument("--store", default="docs/pointing_game_r3.sqlite")
     args = ap.parse_args()
@@ -69,6 +74,9 @@ def main():
 
     setup_compilation_cache()
 
+    from scouter_tpu.explain import backprop as bp
+    from scouter_tpu.explain import cam as cam_mod
+    from scouter_tpu.explain import excitation as ebp
     from scouter_tpu.explain.benchmark import ExperimentStore, run_pointing_benchmark
     from scouter_tpu.explain.benchmark_models import get_model
     from scouter_tpu.explain.extremal import extremal_perturbation
@@ -146,14 +154,49 @@ def main():
         return np.asarray(masks)[0, ..., 0] if np.asarray(masks).ndim == 4 \
             else np.asarray(masks)[0]
 
+    # torchray's reference benchmark grid ("center" chance baseline + the
+    # backprop/CAM families + the perturbation methods). The layer-targeted
+    # methods (grad_cam at the last conv, EBP at layer3, contrastive EBP
+    # layer2/4) use the reference's resnet50 placements.
+    size_center = np.zeros((size, size), np.float32)
+    size_center[size // 2, size // 2] = 1.0
+
+    def method_on_image(fn, **kw):
+        def run(image, c):
+            out = fn(model, variables, jnp.asarray(image, jnp.float32)[None],
+                     int(c), **kw)
+            return np.asarray(out)
+        return run
+
     methods = {
+        "center": lambda image, c: size_center,
         "gradient": gradient_saliency,
+        "deconvnet": method_on_image(bp.deconvnet),
+        "guided_backprop": method_on_image(bp.guided_backprop),
+        "grad_cam": method_on_image(cam_mod.gradcam),
+        "excitation_backprop": method_on_image(
+            ebp.excitation_backprop, saliency_layer="layer3"),
+        "contrastive_excitation_backprop": method_on_image(
+            ebp.contrastive_excitation_backprop),
         "rise": rise_saliency,
         "extremal_perturbation": extremal_saliency,
     }
+    if args.methods:
+        wanted = args.methods.split(",")
+        unknown = [m for m in wanted if m not in methods]
+        assert not unknown, f"unknown methods: {unknown} (have {list(methods)})"
+        methods = {m: methods[m] for m in wanted}
+
+    prior_rows = {}
+    json_path = os.path.splitext(args.out)[0] + ".json"
+    if args.append and os.path.exists(json_path):
+        with open(json_path) as f:
+            prior = json.load(f)
+        prior_rows = {r[0]: r for r in prior.get("rows", [])}
+        test_acc = prior.get("test_acc", test_acc)
 
     os.makedirs(os.path.dirname(args.store) or ".", exist_ok=True)
-    if os.path.exists(args.store):
+    if os.path.exists(args.store) and not args.append:
         os.unlink(args.store)
     store = ExperimentStore(args.store)
     rows = []
@@ -168,6 +211,14 @@ def main():
                      int(game.hits.sum() + game.misses.sum()), round(wall, 1)))
         print(f"{name}: pointing acc {game.accuracy:.3f} ({wall:.1f}s)", flush=True)
     store.close()
+
+    if prior_rows:
+        new_names = {r[0] for r in rows}
+        rows = [r for r in prior_rows.values() if r[0] not in new_names] + rows
+    order = ["center", "gradient", "deconvnet", "guided_backprop", "grad_cam",
+             "excitation_backprop", "contrastive_excitation_backprop", "rise",
+             "extremal_perturbation"]
+    rows.sort(key=lambda r: order.index(r[0]) if r[0] in order else len(order))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

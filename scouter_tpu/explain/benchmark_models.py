@@ -178,19 +178,33 @@ class CaffeResNet50(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
-        x = conv2d(64, 7, stride=2, padding=3, use_bias=True, dtype=self.dtype,
-                   name="conv1")(x)
-        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
-        x = _act_relu(x)
-        x = _max_pool_ceil(x, 3, 2, 0)  # padding dropped + ceil (models.py:116-117)
+    def __call__(self, x, train: bool = False, features_only: bool = False,
+                 rngs=None, stop_after: Optional[str] = None,
+                 start_from: Optional[str] = None):
+        """``stop_after``/``start_from`` ('layer1'..'layer4') split the forward
+        at a stage boundary — the same contract as the zoo's
+        ``models.resnet.ResNet.__call__`` — so layer-targeted attribution
+        (excitation backprop, IBA) runs on the benchmark models exactly as the
+        reference's hook-based rewrites do on its caffe resnet50
+        (``torchray/attribution/excitation_backprop.py:146-252``)."""
+        resume_after = int(start_from[-1]) if start_from is not None else 0
+        if start_from is None:
+            x = conv2d(64, 7, stride=2, padding=3, use_bias=True, dtype=self.dtype,
+                       name="conv1")(x)
+            x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
+            x = _act_relu(x)
+            x = _max_pool_ceil(x, 3, 2, 0)  # padding dropped + ceil (models.py:116-117)
         for stage, (planes, blocks) in enumerate(
                 [(64, 3), (128, 4), (256, 6), (512, 3)], start=1):
             for b in range(blocks):
+                if stage <= resume_after:
+                    continue  # resuming mid-network: earlier stages not applied
                 stride = 2 if (stage > 1 and b == 0) else 1
                 x = _CaffeBottleneck(planes, stride=stride, has_downsample=(b == 0),
                                      dtype=self.dtype,
                                      name=f"layer{stage}_{b}")(x, train)
+            if stop_after == f"layer{stage}":
+                return x
         if features_only:
             return x
         kern = self.param("fc_kernel", nn.initializers.lecun_normal(),

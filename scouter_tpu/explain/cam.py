@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "backbone_split",
+    "fc_params",
     "cam",
     "gradcam",
     "gradcampp",
@@ -26,6 +27,16 @@ __all__ = [
     "sscam",
     "isscam",
 ]
+
+
+def fc_params(variables):
+    """(kernel, bias) of the classifier head, tolerant of both param layouts:
+    the zoo's nested ``fc`` Dense module and the caffe benchmark models' flat
+    ``fc_kernel``/``fc_bias`` (explain/benchmark_models.py)."""
+    params = variables["params"]
+    if "fc" in params:
+        return params["fc"]["kernel"], params["fc"]["bias"]
+    return params["fc_kernel"], params["fc_bias"]
 
 
 def backbone_split(model, variables):
@@ -38,11 +49,11 @@ def backbone_split(model, variables):
     def features(x):
         return model.apply(variables, x, features_only=True)  # (1, h, w, K)
 
-    fc = variables["params"]["fc"]
+    kernel, bias = fc_params(variables)
 
     def head(feats):
         pooled = feats.mean(axis=(1, 2))
-        return pooled @ fc["kernel"] + fc["bias"]
+        return pooled @ kernel + bias
 
     def forward(x):
         return head(features(x))
@@ -71,7 +82,7 @@ def cam(model, variables, x, class_idx: int, normalized: bool = True):
     """Plain CAM: fc weights of the target class (cam.py:121-164)."""
     features, _, _ = backbone_split(model, variables)
     feats = features(x)
-    weights = variables["params"]["fc"]["kernel"][:, class_idx]  # (K,)
+    weights = fc_params(variables)[0][:, class_idx]  # (K,)
     return _combine(feats, weights, relu=False, normalized=normalized)
 
 

@@ -143,7 +143,9 @@ def ebp_rules():
 
 
 def _head_from(model, variables, saliency_layer, class_sign=1.0):
-    fc = variables["params"]["fc"]
+    from .cam import fc_params
+
+    kernel, bias = fc_params(variables)
 
     def rest(feats):
         f = model.apply(variables, feats, start_from=saliency_layer, features_only=True)
@@ -151,9 +153,9 @@ def _head_from(model, variables, saliency_layer, class_sign=1.0):
         # resolve jax.lax.dot_general at CALL time so the ebp_rules patch
         # applies (jnp.matmul binds the internal dot_general and would bypass
         # the EBP w+ rule on the classifier)
-        out = jax.lax.dot_general(pooled, class_sign * fc["kernel"],
+        out = jax.lax.dot_general(pooled, class_sign * kernel,
                                   (((1,), (0,)), ((), ())))
-        return out + fc["bias"]
+        return out + bias
 
     return rest
 

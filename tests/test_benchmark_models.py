@@ -236,6 +236,38 @@ class TestCaffeResNet50:
         v = model.init(jax.random.PRNGKey(0), x)
         assert model.apply(v, x).shape == (1, 1, 1, 80)
 
+    def test_stage_slicing_roundtrip(self):
+        """stop_after + start_from compose to the plain forward (the zoo
+        ResNet.__call__ contract, needed for layer-targeted attribution on
+        the benchmark models)."""
+        model = CaffeResNet50(num_classes=20)
+        x = jnp.asarray(np.random.RandomState(5).randn(1, 224, 224, 3),
+                        jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(model.apply(v, x))
+        for layer in ("layer1", "layer3"):
+            mid = model.apply(v, x, stop_after=layer)
+            got = np.asarray(model.apply(v, mid, start_from=layer))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_layer_targeted_attribution_runs(self):
+        """grad_cam / guided backprop / EBP / contrastive EBP produce finite
+        2-D maps on the caffe resnet50 (the pointing-game method grid)."""
+        from scouter_tpu.explain import backprop as bp
+        from scouter_tpu.explain import cam as cam_mod
+        from scouter_tpu.explain import excitation as ebp
+
+        model = CaffeResNet50(num_classes=20)
+        x = jnp.asarray(np.random.RandomState(6).rand(1, 224, 224, 3),
+                        jnp.float32)
+        v = model.init(jax.random.PRNGKey(1), x)
+        for fn, kw in ((cam_mod.gradcam, {}), (bp.guided_backprop, {}),
+                       (bp.deconvnet, {}),
+                       (ebp.excitation_backprop, {"saliency_layer": "layer3"}),
+                       (ebp.contrastive_excitation_backprop, {})):
+            out = np.asarray(fn(model, v, x, 3, **kw))
+            assert out.ndim == 2 and np.isfinite(out).all(), fn.__name__
+
 
 class TestGetModel:
     def test_builds_and_loads_local_checkpoint(self, tmp_path):

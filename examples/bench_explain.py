@@ -232,6 +232,37 @@ def torch_cpu_comparison(args):
     emit("rise_jax_cpu", dt_jax, {"masks": n_masks, "img": size, "model": "resnet18",
                                   "speedup_vs_torch": round(dt_ref / dt_jax, 2)})
 
+    # --- decomposition: pure masked-forward floor, no RISE harness ---
+    # Times the same 400 forwards both harnesses must perform (chunked at the
+    # reference's batch_size=32). If the floor ratio matches the rise ratio,
+    # the gap is framework conv throughput on CPU (torch MKL-DNN vs XLA:CPU);
+    # if the floors are at parity, the gap is our scan harness.
+    chunk = 32
+    n_chunks = -(-n_masks // chunk)
+    xt_b = torch.randn(chunk, 3, size, size)
+    with torch.no_grad():
+        ref(xt_b)
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for _ in range(n_chunks):
+            ref(xt_b)
+    dt_ref_fwd = time.perf_counter() - t0
+    emit("masked_forward_floor_torch_cpu", dt_ref_fwd,
+         {"forwards": n_chunks * chunk, "img": size})
+
+    fwd = jax.jit(forward)
+    xj_b = jnp.asarray(xt_b.numpy().transpose(0, 2, 3, 1))
+    np.asarray(fwd(xj_b))
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        np.asarray(fwd(xj_b))
+    dt_jax_fwd = time.perf_counter() - t0
+    emit("masked_forward_floor_jax_cpu", dt_jax_fwd,
+         {"forwards": n_chunks * chunk, "img": size,
+          "speedup_vs_torch": round(dt_ref_fwd / dt_jax_fwd, 2),
+          "rise_harness_overhead_s": round(dt_jax - dt_jax_fwd, 3),
+          "torch_harness_overhead_s": round(dt_ref - dt_ref_fwd, 3)})
+
 
 if __name__ == "__main__":
     main()

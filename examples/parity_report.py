@@ -618,7 +618,7 @@ def run_chaos_control(epochs=4, n_train=512, n_val=128, batch_size=8,
 
 def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
                              img_size=260, lr=1e-4, seed=0, probes=8,
-                             out_path=None):
+                             out_path=None, loss_status=-1):
     """Extended-horizon convergence comparison on the from-scratch negative
     SCOUTER recipe (README.md:99-105): train BOTH frameworks from identical
     init for `epochs` epochs (default 20 x 64 = 1280 optimizer steps) and
@@ -628,6 +628,8 @@ def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
     The 4-epoch full-recipe chain compares models at 8-33% accuracy where
     fp32 chaos dominates; this run checks the claim that both frameworks
     converge to statistically equivalent accuracy at the plateau.
+    ``loss_status=1`` runs the same comparison on the positive slot head
+    (from-scratch, no use_pre — a controlled variant of README.md:91-97).
     """
     import torch
 
@@ -645,11 +647,16 @@ def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
     install_reference_stubs()
     train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
     probe_imgs = val_arrays[0][:probes]
+    # negative: the README.md:99-105 hyperparams; positive: README.md:91-97
+    # (spc=1, power=1, lambda=1.0), run from scratch instead of use_pre so the
+    # comparison is a single controlled stage.
+    spc, power, lam = (2, 2, 1.5) if loss_status == -1 else (1, 1, 1.0)
     cfg = ScouterConfig(model="resnet18", dataset="MNIST", num_classes=10,
                         channel=512, img_size=img_size, batch_size=batch_size,
                         pre_trained=False, freeze_layers=0, use_slot=True,
-                        use_pre=False, loss_status=-1, slots_per_class=2,
-                        power=2, to_k_layer=1, lambda_value=1.5)
+                        use_pre=False, loss_status=loss_status,
+                        slots_per_class=spc, power=power, to_k_layer=1,
+                        lambda_value=lam)
     stage_seed = seed + 2
     torch.manual_seed(stage_seed)
     ref = _make_ref_slot_model(cfg)
@@ -664,14 +671,16 @@ def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
     iou = _aggregate_iou(
         _heatmap_reports(ref, model, state.variables(), probe_imgs, cfg),
         cfg.num_classes)
+    kind = "negative" if loss_status == -1 else "positive"
     result = {
         "data": f"SYNTHETIC MNIST ({n_train} train / {n_val} val, {img_size}px,"
                 f" {epochs} epochs, bs={batch_size}, "
-                f"{epochs * (n_train // batch_size)} steps)",
+                f"{epochs * (n_train // batch_size)} steps, "
+                f"loss_status={loss_status})",
         "torch_val_acc": t_accs, "jax_val_acc": j_accs, "final": final,
         "heatmap_iou_mean": iou["mean"], "heatmap_iou_per_class": iou["per_class"],
     }
-    lines = ["# Extended-horizon convergence: negative SCOUTER, "
+    lines = [f"# Extended-horizon convergence: {kind} SCOUTER, "
              "torch reference vs scouter-tpu", "", result["data"], "",
              "| epoch | torch val acc | jax val acc | delta (pt) |",
              "|---|---|---|---|"]
@@ -714,7 +723,9 @@ def main(argv=None):
     ap.add_argument("--num_classes", type=int, default=4)
     ap.add_argument("--channel", type=int, default=512)
     ap.add_argument("--slots_per_class", type=int, default=2)
-    ap.add_argument("--loss_status", type=int, default=1)
+    ap.add_argument("--loss_status", type=int, default=None,
+                    help="1 positive / -1 negative (parity default 1; "
+                         "negative-convergence default -1)")
     ap.add_argument("--power", type=int, default=2)
     ap.add_argument("--to_k_layer", type=int, default=1)
     ap.add_argument("--lambda_value", type=float, default=1.0)
@@ -734,6 +745,8 @@ def main(argv=None):
         kwargs = dict(lr=ns.lr, seed=ns.seed, out_path=ns.out_path)
         if ns.epochs is not None:
             kwargs["epochs"] = ns.epochs
+        if ns.mode == "negative-convergence" and ns.loss_status is not None:
+            kwargs["loss_status"] = ns.loss_status
         fn = {"full-recipe": run_full_recipe,
               "chaos-control": run_chaos_control,
               "negative-convergence": run_negative_convergence}[ns.mode]
@@ -743,7 +756,8 @@ def main(argv=None):
     cfg = ScouterConfig(
         model=ns.model, dataset=ns.dataset, num_classes=ns.num_classes,
         channel=ns.channel, use_slot=True, slots_per_class=ns.slots_per_class,
-        power=ns.power, loss_status=ns.loss_status, to_k_layer=ns.to_k_layer,
+        power=ns.power, to_k_layer=ns.to_k_layer,
+        loss_status=1 if ns.loss_status is None else ns.loss_status,
         lambda_value=ns.lambda_value, img_size=ns.img_size,
         batch_size=ns.batch_size, pre_trained=False, freeze_layers=0,
     )

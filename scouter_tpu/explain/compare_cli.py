@@ -73,30 +73,31 @@ def compare_methods(
     if "rise" in methods:
         rise_maps = rise(forward, x, key, num_masks=n_masks)
 
+    # Per-class methods are jitted ONCE with the class index traced: each
+    # method compiles one program reused for every requested class, instead
+    # of dispatching hundreds of eager ops per (method, class) over the
+    # device tunnel (the same fix as the jitted rise() program).
+    jitted = {
+        "cam": lambda v, im, c, k: cam_mod.cam(model, v, im, c),
+        "gradcam": lambda v, im, c, k: cam_mod.gradcam(model, v, im, c),
+        "gradcampp": lambda v, im, c, k: cam_mod.gradcampp(model, v, im, c),
+        "smooth_gradcampp":
+            lambda v, im, c, k: cam_mod.smooth_gradcampp(model, v, im, c, k),
+        "scorecam": lambda v, im, c, k: cam_mod.scorecam(model, v, im, c),
+        "sscam": lambda v, im, c, k: cam_mod.sscam(model, v, im, c, k),
+        "isscam": lambda v, im, c, k: cam_mod.isscam(model, v, im, c),
+        "gradient": lambda v, im, c, k: gradient_saliency(model, v, im, c),
+        "deconvnet": lambda v, im, c, k: deconvnet(model, v, im, c),
+        "guided_backprop":
+            lambda v, im, c, k: guided_backprop(model, v, im, c),
+        "linear_approx": lambda v, im, c, k: linear_approx(model, v, im, c),
+    }
+    jitted = {m: jax.jit(fn) for m, fn in jitted.items() if m in methods}
+
     for c in class_indices:
         for m in methods:
-            if m == "cam":
-                sal = cam_mod.cam(model, variables, x, c)
-            elif m == "gradcam":
-                sal = cam_mod.gradcam(model, variables, x, c)
-            elif m == "gradcampp":
-                sal = cam_mod.gradcampp(model, variables, x, c)
-            elif m == "smooth_gradcampp":
-                sal = cam_mod.smooth_gradcampp(model, variables, x, c, key)
-            elif m == "scorecam":
-                sal = cam_mod.scorecam(model, variables, x, c)
-            elif m == "sscam":
-                sal = cam_mod.sscam(model, variables, x, c, key)
-            elif m == "isscam":
-                sal = cam_mod.isscam(model, variables, x, c)
-            elif m == "gradient":
-                sal = gradient_saliency(model, variables, x, c)
-            elif m == "deconvnet":
-                sal = deconvnet(model, variables, x, c)
-            elif m == "guided_backprop":
-                sal = guided_backprop(model, variables, x, c)
-            elif m == "linear_approx":
-                sal = linear_approx(model, variables, x, c)
+            if m in jitted:
+                sal = jitted[m](variables, x, jnp.int32(c), key)
             elif m == "rise":
                 sal = rise_maps[c]
             elif m == "extremal":

@@ -28,6 +28,25 @@ def test_compare_methods_end_to_end(tmp_path):
             assert os.path.exists(str(tmp_path / f"{m}_{c}.png"))
 
 
+def test_compare_methods_jitted_grid(tmp_path):
+    """The per-class methods run through ONE jitted program each (class index
+    traced); covers the methods the end-to-end test above does not."""
+    model = create_model("resnet10", num_classes=3)
+    x8 = (np.random.RandomState(1).rand(48, 48, 3) * 255).astype(np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
+
+    methods = ["gradcampp", "deconvnet", "linear_approx", "deeplift",
+               "excitation"]
+    results = compare_methods(
+        model, variables, x8, [0, 2], str(tmp_path),
+        dataset="ImageNet", img_size=48, methods=methods, fast=True,
+    )
+    assert set(results) == set(methods)
+    for m, per_class in results.items():
+        for c, sal in per_class.items():
+            assert sal.ndim == 2 and np.all(np.isfinite(sal)), (m, c)
+
+
 def test_grad_min_level_floor_matches_reference_chain(tmp_path):
     """make_grad normalization (torchcam_vis.py:44-51): relu -> min-max ->
     floor at grad_min_level -> re-min-max. Verified against the formula on

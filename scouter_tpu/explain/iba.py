@@ -42,26 +42,38 @@ def estimate_stats(feature_fn: Callable, batches, active_threshold: float = 0.01
     """Streaming per-neuron mean/std(ddof=1)/active-fraction over batches.
 
     Numerically equivalent to the reference's per-sample Welford update
-    (pytorch.py:171-183) via the parallel combine form.
+    (pytorch.py:171-183) via the parallel combine form. The combine runs ON
+    DEVICE in one jitted step per batch (feature extraction fused in), so
+    only the input batches cross the host boundary — fetching every feature
+    batch to host dominated the 5,000-image estimate on the remote runtime.
     """
-    n = 0
-    mean = m2 = nonzero = None
-    for batch in batches:
-        feats = np.asarray(feature_fn(batch))  # (B, ...)
+    def update(carry, batch):
+        n, mean, m2, nonzero = carry
+        feats = feature_fn(batch)  # (B, ...)
         b = feats.shape[0]
         b_mean = feats.mean(axis=0)
         b_m2 = ((feats - b_mean) ** 2).sum(axis=0)
-        b_nonzero = (feats != 0).sum(axis=0)
+        b_nonzero = (feats != 0).sum(axis=0).astype(jnp.float32)
+        delta = b_mean - mean
+        tot = n + b
+        # n=0 init degenerates to (b_mean, b_m2): delta*(b/tot)=b_mean,
+        # delta^2*(n*b/tot)=0 — same first-batch seeding as the host loop.
+        mean = mean + delta * (b / tot)
+        m2 = m2 + b_m2 + delta**2 * (n * b / tot)
+        return (tot, mean, m2, nonzero + b_nonzero)
+
+    jit_update = jax.jit(update)
+    n = jnp.float32(0.0)
+    mean = m2 = nonzero = None
+    for batch in batches:
         if mean is None:
-            mean, m2, nonzero, n = b_mean, b_m2, b_nonzero.astype(np.float64), b
-        else:
-            delta = b_mean - mean
-            tot = n + b
-            mean = mean + delta * (b / tot)
-            m2 = m2 + b_m2 + delta**2 * (n * b / tot)
-            nonzero = nonzero + b_nonzero
-            n = tot
-    std = np.sqrt(m2 / max(n - 1, 1))
+            shape = jax.eval_shape(feature_fn, jnp.asarray(batch)).shape[1:]
+            mean = jnp.zeros(shape, jnp.float32)
+            m2 = jnp.zeros(shape, jnp.float32)
+            nonzero = jnp.zeros(shape, jnp.float32)
+        n, mean, m2, nonzero = jit_update((n, mean, m2, nonzero), batch)
+    n = int(np.asarray(n))
+    std = jnp.sqrt(m2 / max(n - 1, 1))
     active = (nonzero / n) > active_threshold
     return FeatureStats(
         mean=jnp.asarray(mean, jnp.float32),

@@ -546,7 +546,8 @@ def _torch_agreement(ref_a, ref_b, val_arrays, batch_size):
 
 
 def run_chaos_control(epochs=4, n_train=512, n_val=128, batch_size=8,
-                      img_size=260, lr=1e-4, seed=0, eps=1e-6, out_path=None):
+                      img_size=260, lr=1e-4, seed=0, eps=1e-6, out_path=None,
+                      loss_status=-1):
     """Lyapunov control for the full-recipe parity numbers: train the TORCH
     reference negative-SCOUTER recipe (the same from-scratch stage 3 as
     run_full_recipe, README.md:99-105) TWICE, from inits that differ by a
@@ -573,11 +574,13 @@ def run_chaos_control(epochs=4, n_train=512, n_val=128, batch_size=8,
 
     install_reference_stubs()
     train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    spc, power, lam = (2, 2, 1.5) if loss_status == -1 else (1, 1, 1.0)
     cfg = ScouterConfig(model="resnet18", dataset="MNIST", num_classes=10,
                         channel=512, img_size=img_size, batch_size=batch_size,
                         pre_trained=False, freeze_layers=0, use_slot=True,
-                        use_pre=False, loss_status=-1, slots_per_class=2,
-                        power=2, to_k_layer=1, lambda_value=1.5)
+                        use_pre=False, loss_status=loss_status,
+                        slots_per_class=spc, power=power, to_k_layer=1,
+                        lambda_value=lam)
     stage_seed = seed + 2  # the same seed stage 3 used in run_full_recipe
     torch.manual_seed(stage_seed)
     ref_a = _make_ref_slot_model(cfg)
@@ -592,13 +595,15 @@ def run_chaos_control(epochs=4, n_train=512, n_val=128, batch_size=8,
                            lr, 70, stage_seed)
     final = _torch_agreement(ref_a, ref_b, val_arrays, batch_size)
     result = {
-        "control": f"torch vs torch(+{eps:g} on one conv1 weight), negative "
+        "control": f"torch vs torch(+{eps:g} on one conv1 weight), "
+                   f"{'negative' if loss_status == -1 else 'positive'} "
                    f"SCOUTER recipe, {epochs} epochs x "
                    f"{n_train // batch_size} steps",
         "torch_a_val_acc": accs_a, "torch_b_val_acc": accs_b, "final": final,
     }
+    kind = "negative" if loss_status == -1 else "positive"
     lines = ["# Chaos control: torch vs eps-perturbed torch "
-             "(negative SCOUTER recipe)", "", result["control"], "",
+             f"({kind} SCOUTER recipe)", "", result["control"], "",
              "| epoch | torch(a) val acc | torch(b=a+eps) val acc | delta (pt) |",
              "|---|---|---|---|"]
     for e, (a, b) in enumerate(zip(accs_a, accs_b)):
@@ -745,7 +750,8 @@ def main(argv=None):
         kwargs = dict(lr=ns.lr, seed=ns.seed, out_path=ns.out_path)
         if ns.epochs is not None:
             kwargs["epochs"] = ns.epochs
-        if ns.mode == "negative-convergence" and ns.loss_status is not None:
+        if ns.mode in ("negative-convergence", "chaos-control") \
+                and ns.loss_status is not None:
             kwargs["loss_status"] = ns.loss_status
         fn = {"full-recipe": run_full_recipe,
               "chaos-control": run_chaos_control,

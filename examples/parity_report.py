@@ -707,18 +707,230 @@ def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
     return result
 
 
+def _jax_agreement(model, state_a, state_b, val_arrays, batch_size):
+    """Top-1 agreement between two trained jax states (the jax-vs-jax
+    analogue of _torch_agreement)."""
+    import jax.numpy as jnp
+
+    x_va, y_va = val_arrays
+    agree = a_c = b_c = total = 0
+    for s in range(0, len(x_va), batch_size):
+        xb, yb = x_va[s:s + batch_size], y_va[s:s + batch_size]
+        pa = np.asarray(model.apply(state_a.variables(),
+                                    jnp.asarray(xb))["logits"]).argmax(1)
+        pb = np.asarray(model.apply(state_b.variables(),
+                                    jnp.asarray(xb))["logits"]).argmax(1)
+        agree += int((pa == pb).sum())
+        a_c += int((pa == yb).sum())
+        b_c += int((pb == yb).sum())
+        total += len(yb)
+    return {"agreement": agree / total, "acc_a": a_c / total,
+            "acc_b": b_c / total, "n": total}
+
+
+def _sweep_cfg(loss_status, img_size, batch_size):
+    from scouter_tpu.core import ScouterConfig
+
+    spc, power, lam = (2, 2, 1.5) if loss_status == -1 else (1, 1, 1.0)
+    return ScouterConfig(model="resnet18", dataset="MNIST", num_classes=10,
+                         channel=512, img_size=img_size,
+                         batch_size=batch_size, pre_trained=False,
+                         freeze_layers=0, use_slot=True, use_pre=False,
+                         loss_status=loss_status, slots_per_class=spc,
+                         power=power, to_k_layer=1, lambda_value=lam)
+
+
+def run_jax_chaos_control(epochs=20, n_train=512, n_val=128, batch_size=8,
+                          img_size=260, lr=1e-4, seed=0, eps=1e-6,
+                          out_path=None, loss_status=1, platform="cpu"):
+    """Lyapunov control INSIDE this framework: train the jax model twice from
+    inits that differ by a single eps on one conv1 weight element — the
+    jax-vs-jax analogue of run_chaos_control.
+
+    Purpose: adjudicate the positive-recipe plateau question from
+    docs/POSITIVE_CONVERGENCE_r3.md (torch settles at 0.2812, jax at 0.1562).
+    The torch-vs-torch(eps) control rejoined the 0.2812 plateau; if
+    jax-vs-jax(eps) scatters across plateaus (or rejoins a different one),
+    the recipe has multiple attractors reachable from ulp-scale init
+    differences and the cross-framework gap is attractor noise, not a
+    framework divergence. If every eps-jax run re-converges to 0.1562 while
+    torch always finds 0.2812, the divergence is real and needs a mechanism.
+    """
+    import torch
+
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.models import torch_state_dict_to_variables
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    cfg = _sweep_cfg(loss_status, img_size, batch_size)
+    stage_seed = seed + 2  # the same seed the convergence runs used
+    torch.manual_seed(stage_seed)
+    ref = _make_ref_slot_model(cfg)
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    variables_a = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in sd.items()})
+    sd["backbone.conv1.weight"].view(-1)[0] += eps
+    variables_b = torch_state_dict_to_variables(sd)
+    state_a, accs_a, model = _jax_recipe(cfg, variables_a, train_arrays,
+                                         val_arrays, epochs, batch_size, lr,
+                                         stage_seed)
+    state_b, accs_b, _ = _jax_recipe(cfg, variables_b, train_arrays,
+                                     val_arrays, epochs, batch_size, lr,
+                                     stage_seed)
+    final = _jax_agreement(model, state_a, state_b, val_arrays, batch_size)
+    kind = "negative" if loss_status == -1 else "positive"
+    result = {
+        "control": f"jax vs jax(+{eps:g} on one conv1 weight), {kind} "
+                   f"SCOUTER recipe, {epochs} epochs x "
+                   f"{n_train // batch_size} steps, platform={platform}",
+        "jax_a_val_acc": accs_a, "jax_b_val_acc": accs_b, "final": final,
+    }
+    lines = ["# Chaos control: jax vs eps-perturbed jax "
+             f"({kind} SCOUTER recipe)", "", result["control"], "",
+             "| epoch | jax(a) val acc | jax(b=a+eps) val acc | delta (pt) |",
+             "|---|---|---|---|"]
+    for e, (a, b) in enumerate(zip(accs_a, accs_b)):
+        lines.append(f"| {e + 1} | {a:.4f} | {b:.4f} | {100 * (b - a):+.2f} |")
+    lines += ["", f"final: top-1 agreement {final['agreement']:.4f} "
+                  f"(a {final['acc_a']:.4f}, b {final['acc_b']:.4f}, "
+                  f"n={final['n']})", ""]
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2)
+    return result
+
+
+def run_plateau_sweep(epochs=20, n_train=512, n_val=128, batch_size=8,
+                      img_size=260, lr=1e-4, seed=0, seeds=(0, 1, 2, 3),
+                      loss_status=1, framework="both", out_path=None,
+                      platform="cpu"):
+    """Init-seed sweep of the from-scratch recipe plateau in one or both
+    frameworks: same data (data seed fixed), independent (init, batch-order)
+    draw per sweep seed, shared per-seed across frameworks so each row is an
+    identical-init pair. Reports the last-5-epoch mean ("plateau") and final
+    val acc per run, plus per-framework mean/std.
+
+    This is the distributional answer to the positive-plateau question: if
+    the per-seed plateaus of both frameworks are draws from the same spread,
+    the single-seed 0.2812-vs-0.1562 gap in POSITIVE_CONVERGENCE_r3 is
+    attractor noise.
+    """
+    import torch
+
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.models import torch_state_dict_to_variables
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    cfg = _sweep_cfg(loss_status, img_size, batch_size)
+    rows = []
+    for s in seeds:
+        run_seed = 1000 + int(s)
+        torch.manual_seed(run_seed)
+        ref = _make_ref_slot_model(cfg)
+        row = {"seed": int(s)}
+        if framework in ("both", "jax"):
+            variables = torch_state_dict_to_variables(
+                {k: v.clone() for k, v in ref.state_dict().items()})
+            _, j_accs, _ = _jax_recipe(cfg, variables, train_arrays,
+                                       val_arrays, epochs, batch_size, lr,
+                                       run_seed)
+            row["jax_val_acc"] = j_accs
+        if framework in ("both", "torch"):
+            t_accs = _torch_recipe(ref, train_arrays, val_arrays, epochs,
+                                   batch_size, lr, 70, run_seed)
+            row["torch_val_acc"] = t_accs
+        rows.append(row)
+        print(f"[plateau-sweep] seed {s} done: "
+              + ", ".join(f"{k.split('_')[0]} plateau "
+                          f"{np.mean(v[-5:]):.4f}" for k, v in row.items()
+                          if k.endswith("_val_acc")), flush=True)
+
+    def _stats(key):
+        plats = [float(np.mean(r[key][-5:])) for r in rows if key in r]
+        finals = [float(r[key][-1]) for r in rows if key in r]
+        if not plats:
+            return None
+        return {"plateau_per_seed": plats, "final_per_seed": finals,
+                "plateau_mean": float(np.mean(plats)),
+                "plateau_std": float(np.std(plats)),
+                "plateau_min": float(np.min(plats)),
+                "plateau_max": float(np.max(plats))}
+
+    kind = "negative" if loss_status == -1 else "positive"
+    result = {
+        "sweep": f"{kind} SCOUTER recipe, {epochs} epochs x "
+                 f"{n_train // batch_size} steps, seeds {list(seeds)}, "
+                 f"framework={framework}, platform={platform}",
+        "rows": rows,
+        "torch": _stats("torch_val_acc"), "jax": _stats("jax_val_acc"),
+    }
+    lines = [f"# Plateau sweep: {kind} SCOUTER recipe, init-seed "
+             "distribution", "", result["sweep"], "",
+             "| seed | torch plateau (last-5 mean) | torch final | "
+             "jax plateau (last-5 mean) | jax final |", "|---|---|---|---|---|"]
+    for r in rows:
+        t = r.get("torch_val_acc")
+        j = r.get("jax_val_acc")
+        lines.append(
+            f"| {r['seed']} | "
+            + (f"{np.mean(t[-5:]):.4f} | {t[-1]:.4f} | " if t else "— | — | ")
+            + (f"{np.mean(j[-5:]):.4f} | {j[-1]:.4f} |" if j else "— | — |"))
+    for name in ("torch", "jax"):
+        st = result[name]
+        if st:
+            lines.append("")
+            lines.append(f"{name}: plateau mean {st['plateau_mean']:.4f} "
+                         f"± {st['plateau_std']:.4f} "
+                         f"(range {st['plateau_min']:.4f}-"
+                         f"{st['plateau_max']:.4f}, n={len(st['plateau_per_seed'])})")
+    lines.append("")
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2)
+    return result
+
+
 def main(argv=None):
     from scouter_tpu.core import ScouterConfig
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--mode", default="parity",
                     choices=["parity", "full-recipe", "chaos-control",
-                             "negative-convergence"],
+                             "negative-convergence", "jax-chaos-control",
+                             "plateau-sweep"],
                     help="parity: short side-by-side trajectory (default); "
                          "full-recipe: the 3-stage README chain in both "
                          "frameworks; chaos-control: torch vs eps-perturbed "
                          "torch (Lyapunov floor); negative-convergence: "
-                         "extended-horizon plateau comparison")
+                         "extended-horizon plateau comparison; "
+                         "jax-chaos-control: jax vs eps-perturbed jax; "
+                         "plateau-sweep: init-seed plateau distribution")
     ap.add_argument("--epochs", type=int, default=None,
                     help="epochs per stage for the recipe modes")
     ap.add_argument("--out_path", default=None,
@@ -744,18 +956,34 @@ def main(argv=None):
     ap.add_argument("--data_dir", default=None,
                     help="real dataset root; omit for the synthetic stream")
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="jax backend for jax-chaos-control / plateau-sweep "
+                         "(tpu = leave the axon plugin's default backend)")
+    ap.add_argument("--seeds", default="0,1,2,3",
+                    help="comma list of init seeds for plateau-sweep")
+    ap.add_argument("--framework", default="both",
+                    choices=["both", "torch", "jax"],
+                    help="which side(s) plateau-sweep trains")
     ns = ap.parse_args(argv)
 
     if ns.mode != "parity":
         kwargs = dict(lr=ns.lr, seed=ns.seed, out_path=ns.out_path)
         if ns.epochs is not None:
             kwargs["epochs"] = ns.epochs
-        if ns.mode in ("negative-convergence", "chaos-control") \
+        if ns.mode in ("negative-convergence", "chaos-control",
+                       "jax-chaos-control", "plateau-sweep") \
                 and ns.loss_status is not None:
             kwargs["loss_status"] = ns.loss_status
+        if ns.mode in ("jax-chaos-control", "plateau-sweep"):
+            kwargs["platform"] = ns.platform
+        if ns.mode == "plateau-sweep":
+            kwargs["seeds"] = [int(x) for x in ns.seeds.split(",")]
+            kwargs["framework"] = ns.framework
         fn = {"full-recipe": run_full_recipe,
               "chaos-control": run_chaos_control,
-              "negative-convergence": run_negative_convergence}[ns.mode]
+              "negative-convergence": run_negative_convergence,
+              "jax-chaos-control": run_jax_chaos_control,
+              "plateau-sweep": run_plateau_sweep}[ns.mode]
         fn(**kwargs)
         return
 

@@ -50,8 +50,11 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 # Parity runs compare fp32 math against torch CPU: force the CPU backend and
 # true-fp32 matmuls (the TPU backend would run matmuls in bf16 and the
-# comparison would measure precision, not correctness).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# comparison would measure precision, not correctness). The within-jax modes
+# (jax-chaos-control / plateau-sweep --framework jax) accept --platform tpu;
+# honoring it requires NOT pinning the env var before jax import.
+if "--platform" not in sys.argv or "tpu" not in sys.argv:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
 @contextlib.contextmanager

@@ -89,6 +89,36 @@ def test_end_to_end_heatmap_iou_parity_negative():
     assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9
 
 
+def test_jax_chaos_control_mode():
+    """Within-framework Lyapunov control plumbing: two jax runs from inits
+    differing by eps on one conv1 weight. At 2 steps the runs must still be
+    (near-)identical — agreement 1.0 from an eps=1e-6 perturbation."""
+    from parity_report import run_jax_chaos_control
+
+    r = run_jax_chaos_control(epochs=1, n_train=16, n_val=16, batch_size=8,
+                              img_size=260, platform="cpu")
+    assert len(r["jax_a_val_acc"]) == 1 and len(r["jax_b_val_acc"]) == 1
+    assert r["final"]["n"] == 16
+    assert r["final"]["agreement"] == 1.0
+
+
+def test_plateau_sweep_mode():
+    """Identical-init per-seed pairs trained in both frameworks; the report
+    must carry per-seed plateau stats for each framework."""
+    from parity_report import run_plateau_sweep
+
+    r = run_plateau_sweep(epochs=1, n_train=16, n_val=16, batch_size=8,
+                          img_size=260, seeds=(0,), framework="both",
+                          platform="cpu")
+    assert len(r["rows"]) == 1
+    row = r["rows"][0]
+    assert len(row["jax_val_acc"]) == 1 and len(row["torch_val_acc"]) == 1
+    for side in ("torch", "jax"):
+        st = r[side]
+        assert st is not None and len(st["plateau_per_seed"]) == 1
+        assert 0.0 <= st["plateau_mean"] <= 1.0
+
+
 def test_end_to_end_heatmap_iou_parity_resnest():
     """Same contract on the resnest26d family config (ConText/ImageNet-10
     recipes) — exercises SplitAttn/avd-pool numerics end-to-end, including the

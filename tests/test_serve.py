@@ -1,0 +1,139 @@
+"""Serving subsystem tests: AOT StableHLO export (jax.export) round-trip,
+batch polymorphism, in-program slot-map rendering parity with the host
+renderer, and the micro-batching InferenceEngine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scouter_tpu.core import ScouterConfig
+from scouter_tpu.explain.vis import attention_to_maps
+from scouter_tpu.models import build_slot_model
+from scouter_tpu.serve import (
+    InferenceEngine,
+    export_serving,
+    load_artifact,
+    make_serving_fn,
+    save_artifact,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        model="resnet10", dataset="MNIST", num_classes=3, channel=512,
+        use_slot=True, slots_per_class=2, power=1, loss_status=1, to_k_layer=1,
+        lambda_value=1.0, img_size=64, batch_size=4, epochs=1, lr=1e-3,
+        pre_trained=False, freeze_layers=0, output_dir="", seed=0,
+    )
+    base.update(kw)
+    return ScouterConfig(**base)
+
+
+def init_variables(cfg):
+    model = build_slot_model(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 1), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), x)
+
+
+def probe_images(cfg, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (n, cfg.img_size, cfg.img_size, 1), np.uint8)
+
+
+class TestExport:
+    def test_round_trip_dynamic_batch(self, tmp_path):
+        """One batch-polymorphic artifact serves multiple batch sizes and
+        matches the live model bit-for-tolerance."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        exported = export_serving(cfg, variables, batch=None)
+        path = str(tmp_path / "model.shlo")
+        assert save_artifact(exported, path) > 0
+
+        call = load_artifact(path)
+        live = jax.jit(make_serving_fn(cfg, variables))
+        for n in (1, 3):
+            imgs = probe_images(cfg, n, seed=n)
+            got = call(imgs)
+            want = live(jnp.asarray(imgs))
+            np.testing.assert_allclose(
+                np.asarray(got["logits"]), np.asarray(want["logits"]),
+                rtol=2e-5, atol=2e-5)
+            assert got["slot_maps"].shape == (n, cfg.num_classes, 2, 2)
+            np.testing.assert_array_equal(
+                np.asarray(got["slot_maps"]), np.asarray(want["slot_maps"]))
+
+    def test_pinned_batch_rejects_other_sizes(self):
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        exported = export_serving(cfg, variables, batch=2)
+        out = exported.call(probe_images(cfg, 2))
+        assert np.asarray(out["logits"]).shape == (2, cfg.num_classes)
+        with pytest.raises(Exception):
+            exported.call(probe_images(cfg, 3))
+
+    def test_slot_maps_match_host_renderer(self):
+        """The in-program render must equal explain.vis.attention_to_maps
+        (the test.py slot_{id}.png contract) per sample."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        fn = jax.jit(make_serving_fn(cfg, variables))
+        imgs = probe_images(cfg, 2, seed=7)
+        out = fn(jnp.asarray(imgs))
+
+        from scouter_tpu.data.transforms import preprocess_batch
+        model = build_slot_model(cfg)
+        x = preprocess_batch(jnp.asarray(imgs), dataset=cfg.dataset,
+                             img_size=cfg.img_size)
+        attn = np.asarray(model.apply(variables, x)["attn"])
+        for i in range(2):
+            want = attention_to_maps(attn[i], cfg.num_classes, cfg.slots_per_class)
+            got = np.asarray(out["slot_maps"])[i]
+            # uint8 quantization boundaries may differ by 1 between paths
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_no_slot_model_exports_logits_only(self, tmp_path):
+        cfg = small_cfg(use_slot=False)
+        variables = init_variables(cfg)
+        exported = export_serving(cfg, variables, batch=1)
+        path = str(tmp_path / "noslot.shlo")
+        save_artifact(exported, path)
+        out = load_artifact(path)(probe_images(cfg, 1))
+        assert set(out.keys()) == {"logits"}
+
+
+class TestEngine:
+    def test_futures_match_direct_batch(self):
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 5, seed=3)
+        with InferenceEngine(cfg, variables, buckets=(1, 4),
+                             max_wait_ms=20.0) as eng:
+            futs = [eng.submit(img) for img in imgs]
+            got = np.stack([f.result(timeout=120)["logits"] for f in futs])
+            want = eng.infer_batch(imgs)["logits"]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        stats = eng.stats()
+        assert stats["requests"] == 5
+        assert stats["batches"] >= 2  # 5 requests cannot fit one 4-bucket
+
+    def test_bucket_padding_is_masked_out(self):
+        """A 3-image batch through the 4-bucket must equal the unpadded fn."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 3, seed=9)
+        with InferenceEngine(cfg, variables, buckets=(4,)) as eng:
+            out = eng.infer_batch(imgs)
+        assert out["logits"].shape == (3, cfg.num_classes)
+        live = jax.jit(make_serving_fn(cfg, variables))
+        want = np.asarray(live(jnp.asarray(imgs))["logits"])
+        np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)
+
+    def test_submit_after_close_raises(self):
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        eng = InferenceEngine(cfg, variables, buckets=(1,))
+        eng.close()
+        with pytest.raises(RuntimeError):
+            eng.submit(probe_images(cfg, 1)[0])

@@ -41,7 +41,11 @@ class InferenceEngine:
         max_wait_ms: float = 2.0,
         compute_dtype=None,
         include_maps: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — serve data-parallel over its
+        'data' axis (each bucket batch is sharded across the mesh; every
+        bucket size must divide evenly by the mesh size)."""
         import jax
 
         self.cfg = cfg
@@ -49,11 +53,20 @@ class InferenceEngine:
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError("buckets must be positive ints")
         self.max_wait_s = max_wait_ms / 1e3
-        self._fn = jax.jit(
-            make_serving_fn(
-                cfg, variables, compute_dtype=compute_dtype, include_maps=include_maps
-            )
+        fn = make_serving_fn(
+            cfg, variables, compute_dtype=compute_dtype, include_maps=include_maps
         )
+        if mesh is None:
+            self._fn = jax.jit(fn)
+        else:
+            from ..parallel.mesh import batch_sharding
+
+            n = int(mesh.devices.size)
+            bad = [b for b in self.buckets if b % n]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the {n}-device mesh")
+            self._fn = jax.jit(fn, in_shardings=batch_sharding(mesh))
         self._queue: "queue.Queue" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded": 0}
         self._lock = threading.Lock()

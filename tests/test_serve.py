@@ -2,6 +2,8 @@
 batch polymorphism, in-program slot-map rendering parity with the host
 renderer, and the micro-batching InferenceEngine."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -103,6 +105,23 @@ class TestExport:
         assert set(out.keys()) == {"logits"}
 
 
+class TestCLI:
+    def test_export_cli_writes_verified_artifact(self, tmp_path):
+        """serve.cli end-to-end: export (fresh init — no checkpoint on disk),
+        save, reload, and the CLI's own artifact-vs-live parity assertion."""
+        from scouter_tpu.serve.cli import main
+
+        out = str(tmp_path / "m.shlo")
+        main([
+            "--dataset", "MNIST", "--model", "resnet10", "--num_classes", "3",
+            "--channel", "512", "--img_size", "64", "--batch_size", "2",
+            "--use_slot", "true", "--slots_per_class", "2",
+            "--pre_trained", "false", "--output_dir", str(tmp_path),
+            "--export_path", out, "--serve_batch", "2",
+        ])
+        assert os.path.getsize(out) > 1e5
+
+
 class TestEngine:
     def test_futures_match_direct_batch(self):
         cfg = small_cfg()
@@ -129,6 +148,30 @@ class TestEngine:
         live = jax.jit(make_serving_fn(cfg, variables))
         want = np.asarray(live(jnp.asarray(imgs))["logits"])
         np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_sharded_engine_matches_single_device(self):
+        """DP serving: the engine over the 8-device mesh must return the same
+        logits as the unmeshed program (batch sharded over 'data')."""
+        from scouter_tpu.parallel import make_mesh
+
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        imgs = probe_images(cfg, 5, seed=11)
+        with InferenceEngine(cfg, variables, buckets=(8,), mesh=mesh) as eng:
+            out = eng.infer_batch(imgs)
+        live = jax.jit(make_serving_fn(cfg, variables))
+        want = np.asarray(live(jnp.asarray(imgs))["logits"])
+        np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_rejects_indivisible_buckets(self):
+        from scouter_tpu.parallel import make_mesh
+
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        with pytest.raises(ValueError):
+            InferenceEngine(cfg, variables, buckets=(4,), mesh=make_mesh())
 
     def test_submit_after_close_raises(self):
         cfg = small_cfg()

@@ -135,3 +135,32 @@ def test_render_path(tpu_available):
     maps = np.asarray(maps)
     assert maps.shape[0] == 10
     assert maps.dtype == np.uint8
+
+
+def test_serving_export_round_trip_on_chip(tpu_available, tmp_path):
+    """AOT StableHLO artifact exported, saved, reloaded, and executed on the
+    chip must match the live program (the serve CLI contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scouter_tpu.core import ScouterConfig
+    from scouter_tpu.models import build_slot_model
+    from scouter_tpu.serve import (
+        export_serving, load_artifact, make_serving_fn, save_artifact,
+    )
+
+    cfg = ScouterConfig(model="resnet10", dataset="MNIST", num_classes=3,
+                        channel=512, use_slot=True, slots_per_class=2,
+                        img_size=64, batch_size=2, pre_trained=False,
+                        freeze_layers=0)
+    model = build_slot_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.float32))
+    exported = export_serving(cfg, variables, batch=None)
+    path = str(tmp_path / "m.shlo")
+    save_artifact(exported, path)
+    imgs = np.random.RandomState(0).randint(0, 256, (2, 64, 64, 1), np.uint8)
+    got = np.asarray(load_artifact(path)(imgs)["logits"])
+    want = np.asarray(jax.jit(make_serving_fn(cfg, variables))(
+        jnp.asarray(imgs))["logits"])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

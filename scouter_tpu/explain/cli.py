@@ -17,11 +17,8 @@ import os
 
 import numpy as np
 
-from ..core.checkpoint import checkpoint_path, restore_checkpoint
 from ..core.config import config_from_args, get_args_parser
 from ..data import select_dataset
-from ..models import build_slot_model
-from ..train.state import create_train_state
 from .vis import (
     apply_colormap_on_image,
     attention_area_ratio,
@@ -88,20 +85,11 @@ def main(argv=None):
     # picks the jnp path — the fused kernel lost the round-3 end-to-end
     # serving measurement and is parked as opt-in (models/__init__.py)
     from ..models import auto_fused_slot
+    from ..train.state import restore_inference_state
 
-    model = build_slot_model(cfg, fused_slot=auto_fused_slot(cfg, train=False,
-                                                             batch_size=1))
-
-    import jax
-    import jax.numpy as jnp
-
-    sample = jnp.zeros(
-        (1, cfg.img_size, cfg.img_size, 1 if cfg.dataset == "MNIST" else 3), jnp.float32
-    )
-    variables = model.init(jax.random.PRNGKey(0), sample)
-    state, _ = create_train_state(variables, cfg.lr)
-    path = checkpoint_path(cfg.output_dir, cfg)
-    state, _, _ = restore_checkpoint(path, state)
+    model, state, _ = restore_inference_state(
+        cfg, fused_slot=auto_fused_slot(cfg, train=False, batch_size=1),
+        require=True)
 
     ds_val = select_dataset(cfg, train=False)
     vis_id = cfg.vis_id

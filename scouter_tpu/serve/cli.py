@@ -18,7 +18,6 @@ import os
 
 import numpy as np
 
-from ..core.checkpoint import checkpoint_path, restore_checkpoint
 from ..core.config import config_from_args, get_args_parser
 from .export import export_serving, load_artifact, make_serving_fn, save_artifact
 
@@ -46,20 +45,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..models import build_slot_model
-    from ..train.state import create_train_state
+    from ..train.state import restore_inference_state
 
     channels = 1 if cfg.dataset == "MNIST" else 3
-    model = build_slot_model(cfg)
-    sample = jnp.zeros((1, cfg.img_size, cfg.img_size, channels), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample)
-    state, _ = create_train_state(variables, cfg.lr)
-    ckpt = checkpoint_path(cfg.output_dir, cfg)
-    if os.path.exists(ckpt):
-        state, _, _ = restore_checkpoint(ckpt, state)
-        print(f"restored {ckpt}")
+    _, state, restored = restore_inference_state(cfg)
+    if restored:
+        print(f"restored {restored}")
     else:
-        print(f"no checkpoint at {ckpt}; exporting fresh-init weights")
+        print(f"no checkpoint found for this config; exporting fresh-init weights")
 
     batch = None if ns.serve_batch == "dynamic" else int(ns.serve_batch)
     platforms = ns.platforms.split(",") if ns.platforms else None
@@ -74,15 +67,19 @@ def main(argv=None):
           f"platforms={list(exported.platforms)}, batch="
           f"{'dynamic' if batch is None else batch})")
 
-    # round-trip verification: artifact logits == live-model logits
+    # round-trip verification: artifact logits == live-model logits. bf16
+    # programs legitimately differ between compilations (fusion changes
+    # intermediate rounding; bf16 eps ~8e-3), so the tolerance follows dtype.
     probe_n = 2 if batch is None else batch
     rng = np.random.RandomState(0)
     probe = rng.randint(0, 256, (probe_n, cfg.img_size, cfg.img_size, channels),
                         dtype=np.uint8)
-    live = make_serving_fn(cfg, state.variables(), compute_dtype=dtype)
+    live = jax.jit(make_serving_fn(cfg, state.variables(), compute_dtype=dtype))
     want = np.asarray(live(jnp.asarray(probe))["logits"])
     got = np.asarray(load_artifact(ns.export_path)(probe)["logits"])
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    tol = dict(rtol=2e-5, atol=2e-5) if dtype != jnp.bfloat16 \
+        else dict(rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(got, want, **tol)
     print(f"round-trip verified: artifact logits match live model "
           f"(max |delta| {np.abs(got - want).max():.2e})")
 

@@ -49,6 +49,8 @@ class InferenceEngine:
         import jax
 
         self.cfg = cfg
+        channels = 1 if cfg.dataset == "MNIST" else 3
+        self._img_shape = (cfg.img_size, cfg.img_size, channels)
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError("buckets must be positive ints")
@@ -81,17 +83,24 @@ class InferenceEngine:
         with 'logits' (num_classes,) and, if enabled, 'slot_maps'."""
         if self._closed.is_set():
             raise RuntimeError("engine is closed")
+        image_u8 = self._validate(np.asarray(image_u8), batched=False)
         fut: Future = Future()
-        self._queue.put((np.asarray(image_u8, np.uint8), fut))
+        self._queue.put((image_u8, fut))
+        if self._closed.is_set():
+            # close() raced us past the is_set check above; make sure this
+            # item cannot be stranded in a dead queue
+            self._drain_failed()
         return fut
 
     def infer_batch(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
-        """Synchronous whole-batch path (bypasses the queue), padded to the
-        smallest bucket that fits."""
-        images_u8 = np.asarray(images_u8, np.uint8)
+        """Synchronous whole-batch path (bypasses the queue); batches larger
+        than the biggest bucket are split into bucket-sized chunks."""
+        images_u8 = self._validate(np.asarray(images_u8), batched=True)
         n = images_u8.shape[0]
-        out = self._run_padded(images_u8)
-        return {k: v[:n] for k, v in out.items()}
+        max_b = self.buckets[-1]
+        outs = [self._run_padded(images_u8[s:s + max_b])
+                for s in range(0, n, max_b)]
+        return {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
 
     def stats(self) -> Dict[str, int]:
         with self._lock:
@@ -101,6 +110,7 @@ class InferenceEngine:
         self._closed.set()
         self._queue.put(None)  # wake the dispatcher
         self._thread.join(timeout=10)
+        self._drain_failed()
 
     def __enter__(self):
         return self
@@ -110,11 +120,25 @@ class InferenceEngine:
 
     # -- internals ----------------------------------------------------------
 
+    def _validate(self, arr: np.ndarray, *, batched: bool) -> np.ndarray:
+        """Require raw uint8 pixels of the configured geometry: a silent
+        np.uint8 cast would truncate normalized float images to garbage."""
+        if arr.dtype != np.uint8:
+            raise TypeError(
+                f"expected uint8 raw pixels (normalization happens inside the "
+                f"compiled program), got dtype {arr.dtype}")
+        want = self._img_shape
+        got = arr.shape[1:] if batched else arr.shape
+        if got != want:
+            raise ValueError(f"expected image shape {want}, got {got}")
+        return arr
+
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        raise AssertionError(
+            f"internal: batch {n} exceeds largest bucket {self.buckets[-1]}")
 
     def _run_padded(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
         n = images_u8.shape[0]
@@ -127,6 +151,18 @@ class InferenceEngine:
             self._stats["batches"] += 1
             self._stats["padded"] += bucket - n
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def _drain_failed(self):
+        """Fail any requests stranded in the queue after shutdown."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                _, fut = item
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(RuntimeError("engine is closed"))
 
     def _dispatch_loop(self):
         max_bucket = self.buckets[-1]
@@ -155,15 +191,20 @@ class InferenceEngine:
                 if nxt is None:
                     break
                 batch.append(nxt)
-            images = np.stack([b[0] for b in batch])
+            # drop client-cancelled requests; mark the rest running so a
+            # late cancel() can no longer make set_result raise
+            live = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            if not live:
+                continue
             with self._lock:
-                self._stats["requests"] += len(batch)
+                self._stats["requests"] += len(live)
             try:
+                images = np.stack([b[0] for b in live])
                 out = self._run_padded(images)
-                for i, (_, fut) in enumerate(batch):
+                for i, (_, fut) in enumerate(live):
                     fut.set_result({k: v[i] for k, v in out.items()})
             except Exception as exc:  # resolve, never hang callers
-                for _, fut in batch:
+                for _, fut in live:
                     if not fut.done():
                         fut.set_exception(exc)
 

@@ -106,6 +106,30 @@ def create_train_state(
     return state, tx
 
 
+def restore_inference_state(cfg, *, fused_slot: bool = False, require: bool = False):
+    """Rebuild the model + TrainState from the config-derived checkpoint name
+    (the reference's test.py re-derivation flow, ``test.py:59-62``). Returns
+    ``(model, state, restored_path_or_None)``. Shared by the inference and
+    serving CLIs so the restore recipe cannot diverge between them."""
+    import os
+
+    from ..core.checkpoint import checkpoint_path, restore_checkpoint
+    from ..models import build_slot_model
+
+    model = build_slot_model(cfg, fused_slot=fused_slot)
+    channels = 1 if cfg.dataset == "MNIST" else 3
+    sample = jnp.zeros((1, cfg.img_size, cfg.img_size, channels), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample)
+    state, _ = create_train_state(variables, cfg.lr)
+    path = checkpoint_path(cfg.output_dir, cfg)
+    if not os.path.exists(path):
+        if require:
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        return model, state, None
+    state, _, _ = restore_checkpoint(path, state)
+    return model, state, path
+
+
 def sync_batch_stats(state: TrainState, mesh=None) -> TrainState:
     """Cross-replica BN statistics averaging — timm ``distribute_bn``
     (``timm/utils.py:214-231``) capability.

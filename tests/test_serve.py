@@ -149,6 +149,52 @@ class TestEngine:
         want = np.asarray(live(jnp.asarray(imgs))["logits"])
         np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)
 
+    def test_oversize_batch_chunks_to_buckets(self):
+        """infer_batch beyond the largest bucket splits into bucket-sized
+        chunks (no fresh jit shapes, never-negative padding stats)."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 7, seed=13)
+        with InferenceEngine(cfg, variables, buckets=(1, 4)) as eng:
+            out = eng.infer_batch(imgs)
+            stats = eng.stats()
+        assert out["logits"].shape == (7, cfg.num_classes)
+        assert stats["batches"] == 2 and stats["padded"] == 1
+        live = jax.jit(make_serving_fn(cfg, variables))
+        want = np.asarray(live(jnp.asarray(imgs))["logits"])
+        np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)
+
+    def test_rejects_float_and_misshaped_input(self):
+        """Normalized float images must be refused, not silently truncated
+        to black via a uint8 cast; wrong geometry must be refused too."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        with InferenceEngine(cfg, variables, buckets=(1,)) as eng:
+            with pytest.raises(TypeError):
+                eng.submit(np.zeros((64, 64, 1), np.float32))
+            with pytest.raises(ValueError):
+                eng.submit(np.zeros((32, 32, 1), np.uint8))
+            with pytest.raises(TypeError):
+                eng.infer_batch(np.zeros((2, 64, 64, 1), np.float32))
+
+    def test_cancelled_future_does_not_poison_batch(self):
+        """A client-cancelled request is dropped; the rest of its batch still
+        resolves with correct results."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 3, seed=17)
+        with InferenceEngine(cfg, variables, buckets=(4,),
+                             max_wait_ms=300.0) as eng:
+            futs = [eng.submit(img) for img in imgs]
+            futs[0].cancel()  # may or may not win the race with the dispatcher
+            results = []
+            for f in futs[1:]:
+                results.append(f.result(timeout=120)["logits"])
+        live = jax.jit(make_serving_fn(cfg, variables))
+        want = np.asarray(live(jnp.asarray(imgs))["logits"])
+        np.testing.assert_allclose(np.stack(results), want[1:],
+                                   rtol=1e-5, atol=1e-5)
+
     def test_mesh_sharded_engine_matches_single_device(self):
         """DP serving: the engine over the 8-device mesh must return the same
         logits as the unmeshed program (batch sharded over 'data')."""

@@ -46,6 +46,32 @@ def select_dataset(cfg, train: bool = True):
         items = tr if train else va
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    if not items:
+        # no dataset on disk: labeled synthetic stand-in (same contract as the
+        # MNIST fallback — class = blob location, learnable, deterministic)
+        return _synthetic_folder(cfg.dataset, cfg.num_classes, staging, train)
     # lazy per-batch decode with bounded RAM (small sets become fully cached);
     # equivalent bytes to the eager load_image_list path (tests assert this)
     return FolderDataset(items, staging, cfg.dataset)
+
+
+def _synthetic_folder(dataset: str, num_classes: int, size: int, train: bool):
+    """Synthetic RGB stand-in for the folder datasets (ConText/ImageNet/CUB)
+    when nothing is on disk: a noisy class-located gaussian blob per image."""
+    import numpy as np
+
+    n = 256 if train else 128
+    rng = np.random.RandomState(0 if train else 1)
+    labels = rng.randint(0, num_classes, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    grid = max(1, int(np.ceil(np.sqrt(num_classes))))
+    step = size / (grid + 1)
+    images = np.empty((n, size, size, 3), np.uint8)
+    for i, k in enumerate(labels):
+        cx = step * (1 + k % grid) + rng.randn() * 2
+        cy = step * (1 + k // grid) + rng.randn() * 2
+        blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * (size / 12) ** 2)))
+        noise = rng.rand(size, size, 3) * 0.3
+        img = np.clip(blob[..., None] * 0.7 + noise, 0, 1)
+        images[i] = (img * 255).astype(np.uint8)
+    return ArrayDataset(images, labels, dataset)

@@ -35,6 +35,7 @@ def compare_methods(
     seed: int = 0,
     fast: bool = False,
     grad_min_level: float = 0.0,
+    iba_estimate_batches=None,
 ) -> Dict[str, Dict[int, np.ndarray]]:
     """Run the attribution suite for the given classes; returns method -> class
     -> (h, w) maps and writes jet overlays.
@@ -73,6 +74,27 @@ def compare_methods(
     if "rise" in methods:
         rise_maps = rise(forward, x, key, num_masks=n_masks)
 
+    blurred = gaussian_blur_baseline(x) if "igos" in methods else None
+
+    iba_stats = iba_head = iba_features = None
+    if "iba" in methods:
+        # reference flow: estimate feature stats over val images
+        # (torchcam_vis.py:201-206), then per-class analyze (:212-215). With
+        # no estimation stream supplied, fall back to noise-jittered copies
+        # of the input (documented single-image approximation).
+        from .cam import backbone_split
+        from .iba import estimate_stats
+
+        iba_features, iba_head, _ = backbone_split(model, variables)
+        feat_j = jax.jit(iba_features)
+        if iba_estimate_batches is None:
+            n_est = 4 if fast else 32
+            ks = jax.random.split(jax.random.fold_in(key, 99), n_est)
+            iba_estimate_batches = (
+                x + 0.1 * jax.random.normal(k, x.shape) for k in ks
+            )
+        iba_stats = estimate_stats(lambda b: feat_j(b), iba_estimate_batches)
+
     # Per-class methods are jitted ONCE with the class index traced: each
     # method compiles one program reused for every requested class, instead
     # of dispatching hundreds of eager ops per (method, class) over the
@@ -104,10 +126,18 @@ def compare_methods(
                 masks, _ = extremal_perturbation(forward, x, c, max_iter=ep_iters)
                 sal = masks[0, :, :, 0]
             elif m == "igos":
-                blurred = gaussian_blur_baseline(x)
                 res = integrated_mask(forward, x, blurred, c, key,
                                       max_iterations=igos_iters)
                 sal = 1.0 - res.upsampled  # 0 = important in IGOS
+            elif m == "iba":
+                from .iba import iba_analyze
+
+                def readout_loss(z, c=c):
+                    logp = jax.nn.log_softmax(iba_head(z), axis=1)
+                    return -logp[:, c].mean()
+
+                sal = iba_analyze(iba_features, readout_loss, x, iba_stats,
+                                  key, out_shape=x.shape[1:3])
             elif m == "deeplift":
                 from .deeplift import layer_deeplift
 

@@ -37,10 +37,22 @@ VOC_CLASSES = (
 )
 
 
-def voc_annotation_to_mask(xml_path: str, class_name: str,
-                           include_difficult: bool = False) -> Optional[np.ndarray]:
-    """Bounding boxes of `class_name` -> {0,1} (H, W) mask; None if absent."""
-    root = ET.parse(xml_path).getroot()
+def voc_annotation_to_mask(xml_path_or_root, class_name: str,
+                           include_difficult: bool = True) -> Optional[np.ndarray]:
+    """Bounding boxes of `class_name` -> {0,1} (H, W) mask; None if absent.
+
+    Difficult boxes are INCLUDED by default: torchray's voc_as_mask
+    (torchray/benchmark/datasets.py:98-125) builds the ground-truth mask from
+    every box of the class with no difficult filter, and class presence
+    (voc_as_class_ids, :81-95) likewise ignores the flag — excluding them
+    changes pointing-game hit/miss decisions vs the reference protocol.
+
+    Accepts a parsed ElementTree root in place of the path (voc_dataset parses
+    each annotation once and scans it for all 20 classes)."""
+    if isinstance(xml_path_or_root, str):
+        root = ET.parse(xml_path_or_root).getroot()
+    else:
+        root = xml_path_or_root
     size = root.find("size")
     h = int(size.find("height").text)
     w = int(size.find("width").text)
@@ -73,8 +85,9 @@ def voc_dataset(voc_root: str, image_set: str = "test",
         ids = [line.strip().split()[0] for line in f if line.strip()]
     for image_id in ids:
         xml_path = os.path.join(ann_dir, image_id + ".xml")
+        root = ET.parse(xml_path).getroot()  # parse once, scan per class
         for class_id, name in enumerate(classes):
-            mask = voc_annotation_to_mask(xml_path, name)
+            mask = voc_annotation_to_mask(root, name)
             if mask is not None:
                 yield os.path.join(img_dir, image_id + ".jpg"), class_id, mask
 

@@ -257,9 +257,18 @@ def extremal_perturbation(
         pmask = jnp.clip(pmask - learning_rate * vel, 0.0, 1.0)
         return (pmask, vel), aux
 
-    (pmask, _), (rewards, reguls) = jax.lax.scan(
-        sgd_step, (pmask0, jnp.zeros_like(pmask0)), jnp.arange(max_iter)
+    # the reference returns the mask generated from pmask at the TOP of the
+    # final iteration, i.e. BEFORE the last optimizer.step()
+    # (extremal_perturbation.py:586,674): scan max_iter-1 updates, then run
+    # the last iteration's energy for hist and keep its pre-update mask
+    (pmask, vel), (rewards, reguls) = jax.lax.scan(
+        sgd_step, (pmask0, jnp.zeros_like(pmask0)), jnp.arange(max_iter - 1)
     )
+    _, (last_reward, last_regul) = energy_fn(
+        pmask, jnp.asarray(max_iter - 1, jnp.float32)
+    )
+    rewards = jnp.concatenate([rewards, last_reward[None]])
+    reguls = jnp.concatenate([reguls, last_regul[None]])
     cropped, _ = gen.generate(pmask)
     masks = cropped[..., None]
     if smooth > 0:

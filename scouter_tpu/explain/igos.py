@@ -51,6 +51,25 @@ def gaussian_blur_baseline(img: jnp.ndarray, ksize: int = 51, sigma: float = 50.
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
+def _resize_bilinear_align_corners(m: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """2-D bilinear resize with align_corners=True — torch
+    ``nn.UpsamplingBilinear2d`` semantics, the reference's mask upsampler
+    (``IGOS.py:274-276``). ``jax.image.resize`` uses half-pixel centers
+    (align_corners=False) and differs by up to ~0.3 on a 112->224 map."""
+    ih, iw = m.shape
+    ys = jnp.linspace(0.0, ih - 1.0, oh)
+    xs = jnp.linspace(0.0, iw - 1.0, ow)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, ih - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, iw - 1)
+    y1 = jnp.minimum(y0 + 1, ih - 1)
+    x1 = jnp.minimum(x0 + 1, iw - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    top = m[y0][:, x0] * (1 - wx) + m[y0][:, x1] * wx
+    bot = m[y1][:, x0] * (1 - wx) + m[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def tv_norm(mask: jnp.ndarray, tv_beta: float = 2.0) -> jnp.ndarray:
     """Total-variation norm of a (h, w) mask (IGOS.py:60-64)."""
     row = jnp.mean(jnp.abs(mask[:-1, :] - mask[1:, :]) ** tv_beta)
@@ -84,7 +103,7 @@ def integrated_mask(
     h, w = img.shape[1:3]
 
     def upsample(m):
-        return jax.image.resize(m, (h, w), method="bilinear")[None, :, :, None]
+        return _resize_bilinear_align_corners(m, h, w)[None, :, :, None]
 
     def class_prob(x):
         return jax.nn.softmax(forward(x), axis=1)[:, category]
@@ -132,18 +151,21 @@ def integrated_mask(
         step, _ = jax.lax.while_loop(cond, body, (200.0, 0))
         m = jnp.clip(m - step * grad, 0.0, 1.0)
 
-        # l1 annealing when the score curve stalls (:482-494)
+        # l1 annealing when the score curve stalls (:482-494); the reference
+        # only anneals at all when max_iterations > 3 (IGOS.py:478) — without
+        # the guard, tiny runs would hit both anneal points in one step
         score0 = jnp.where(t == 0, score_ori, score0)
-        l1c = jnp.where(
-            jnp.logical_and(t == max_iterations // 2,
-                            jnp.abs(score0 - score_ori) <= 0.001),
-            l1c / 10.0, l1c,
-        )
-        l1c = jnp.where(
-            jnp.logical_and(t == int(max_iterations / 1.25),
-                            jnp.abs(score0 - score_ori) <= 0.01),
-            l1c / 5.0, l1c,
-        )
+        if max_iterations > 3:
+            l1c = jnp.where(
+                jnp.logical_and(t == max_iterations // 2,
+                                jnp.abs(score0 - score_ori) <= 0.001),
+                l1c / 10.0, l1c,
+            )
+            l1c = jnp.where(
+                jnp.logical_and(t == int(max_iterations / 1.25),
+                                jnp.abs(score0 - score_ori) <= 0.01),
+                l1c / 5.0, l1c,
+            )
         return (m, l1c, score0), (reg_loss(m, l1c), masked_score(m))
 
     m0 = jnp.ones((size_init, size_init), jnp.float32)
@@ -178,9 +200,10 @@ def deletion_insertion_curve(
         ranks = jnp.zeros(n).at[order].set(jnp.arange(n))
         removed = (ranks < kcount).astype(jnp.float32).reshape(h, w)
         keep = 1.0 - removed
-        um = jax.image.resize(keep, img.shape[1:3], method="bilinear")[None, :, :, None]
+        ih, iw = img.shape[1:3]
+        um = _resize_bilinear_align_corners(keep, ih, iw)[None, :, :, None]
         deletion = jax.nn.softmax(forward(img * um + blurred * (1 - um)), axis=1)[0, category]
-        um_ins = jax.image.resize(removed, img.shape[1:3], method="bilinear")[None, :, :, None]
+        um_ins = _resize_bilinear_align_corners(removed, ih, iw)[None, :, :, None]
         insertion = jax.nn.softmax(forward(img * um_ins + blurred * (1 - um_ins)), axis=1)[0, category]
         return deletion, insertion
 

@@ -25,6 +25,22 @@ import jax.numpy as jnp
 __all__ = ["rise"]
 
 
+def _upsample_reflect(grid: jnp.ndarray, up_h: int, up_w: int) -> jnp.ndarray:
+    """(num, gh, gw) low-res grid -> (num, up_h, up_w): reflect-pad one grid
+    cell, bilinear-interpolate, slice one interpolation cell in
+    (_upsample_reflect, rise.py:30-80). The interpolation cell is re-derived
+    from the TARGET size (ceil(up/g) — 37 at 224px/7 cells), NOT the outer
+    shift cell ceil(H/g)=32; using the outer cell changes every mask."""
+    num, gh, gw = grid.shape
+    padded = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    in_h = -(-up_h // gh)
+    in_w = -(-up_w // gw)
+    pad_h = in_h * (gh + 2)
+    pad_w = in_w * (gw + 2)
+    up_full = jax.image.resize(padded, (num, pad_h, pad_w), method="bilinear")
+    return up_full[:, in_h:in_h + up_h, in_w:in_w + up_w]
+
+
 def _make_masks(key, num: int, num_cells: int, p: float,
                 height: int, width: int) -> jnp.ndarray:
     """(num, H, W) float masks: low-res binary -> reflect-pad one cell ->
@@ -36,11 +52,7 @@ def _make_masks(key, num: int, num_cells: int, p: float,
     up_h, up_w = height + cell_h, width + cell_w
 
     grid = (jax.random.uniform(kg, (num, num_cells, num_cells)) < p).astype(jnp.float32)
-    padded = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="reflect")
-    pad_h = cell_h * (num_cells + 2)
-    pad_w = cell_w * (num_cells + 2)
-    up_full = jax.image.resize(padded, (num, pad_h, pad_w), method="bilinear")
-    up = up_full[:, cell_h:cell_h + up_h, cell_w:cell_w + up_w]
+    up = _upsample_reflect(grid, up_h, up_w)
     sx = jax.random.randint(kx, (num,), 0, cell_h)
     sy = jax.random.randint(ky, (num,), 0, cell_w)
 

@@ -36,7 +36,7 @@ def test_compare_methods_jitted_grid(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
 
     methods = ["gradcampp", "deconvnet", "linear_approx", "deeplift",
-               "excitation"]
+               "excitation", "iba"]
     results = compare_methods(
         model, variables, x8, [0, 2], str(tmp_path),
         dataset="ImageNet", img_size=48, methods=methods, fast=True,

@@ -254,3 +254,25 @@ class TestStreamingFolderDataset:
         # staging == img_size: the host PIL resize is the only resize (single
         # Resize parity with transform_func.py:59-66)
         assert ds.gather([0]).shape == (1, cfg.img_size, cfg.img_size, 3)
+
+
+def test_folder_dataset_synthetic_fallback():
+    """Folder datasets (ConText/ImageNet/CUB) fall back to a labeled synthetic
+    stream when nothing is on disk — same contract as the MNIST fallback, so
+    every CLI runs data-free (numbers tagged SYNTHETIC in the reports)."""
+    from scouter_tpu.core import ScouterConfig
+    from scouter_tpu.data import select_dataset
+
+    cfg = ScouterConfig(model="resnet10", dataset="ImageNet", num_classes=3,
+                        channel=512, img_size=64, batch_size=2,
+                        dataset_dir="/nonexistent_dir_xyz",
+                        pre_trained=False, freeze_layers=0)
+    ds_tr = select_dataset(cfg, train=True)
+    ds_va = select_dataset(cfg, train=False)
+    assert len(ds_tr.images) > len(ds_va.images) > 0
+    img = np.asarray(ds_tr.images[0])
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert set(np.unique(ds_tr.labels)) <= {0, 1, 2}
+    # deterministic across calls
+    img2 = np.asarray(select_dataset(cfg, train=True).images[0])
+    np.testing.assert_array_equal(img, img2)

@@ -82,6 +82,32 @@ class TestRise:
         s3 = rise(forward, x, jax.random.PRNGKey(1), num_masks=64, batch_size=32)
         assert np.abs(np.asarray(s1) - np.asarray(s3)).max() > 0
 
+    def test_mask_upsample_matches_torchray(self):
+        """The mask-generation upsample must match the reference's
+        _upsample_reflect exactly: it re-derives its interpolation cell from
+        the TARGET size (ceil(up/num_cells)=37 at 224px/7), not the outer
+        shift cell (32) — using 32 changes every generated mask
+        (rise.py:30-80)."""
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import torch
+
+        from torchray.attribution.rise import _upsample_reflect
+
+        h = 224
+        num_cells = 7
+        cell = -(-h // num_cells)
+        up = h + cell
+        grid = (np.random.RandomState(0).rand(4, 1, num_cells, num_cells)
+                < 0.5).astype(np.float32)
+        want = _upsample_reflect(torch.from_numpy(grid), (up, up)).numpy()[:, 0]
+
+        from scouter_tpu.explain.rise import _upsample_reflect as ours
+
+        got = np.asarray(ours(jnp.asarray(grid[:, 0]), up, up))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
     def test_constant_model_gives_flat_center(self, setup):
         # with constant scores, saliency ~ E[mask] which is ~p everywhere
         def forward(imgs):
@@ -215,8 +241,10 @@ class TestRiseReferenceParity:
         x = rng.rand(1, 32, 32, 3).astype(np.float32)
         from scouter_tpu.explain.rise import rise
 
+        # 4000 masks: the argmax-in-quadrant property is statistical, and
+        # 2000 leaves it within noise of the quadrant boundary
         sal = np.asarray(rise(jax_quad, jnp.asarray(x), _jax.random.PRNGKey(0),
-                              num_masks=2000, batch_size=100))
+                              num_masks=4000, batch_size=100))
         r0, c0 = np.unravel_index(sal[0].argmax(), sal[0].shape)
         assert r0 < 16 and c0 < 16
         r1, c1 = np.unravel_index(sal[1].argmax(), sal[1].shape)

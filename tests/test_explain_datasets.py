@@ -30,9 +30,11 @@ def test_voc_mask(tmp_path):
     mask = voc_annotation_to_mask(str(p), "cat")
     assert mask.shape == (30, 40)
     assert mask[10, 10] == 1 and mask[0, 0] == 0
-    # difficult object excluded by default, included on request
-    assert voc_annotation_to_mask(str(p), "dog") is None
-    assert voc_annotation_to_mask(str(p), "dog", include_difficult=True)[24, 24] == 1
+    # difficult boxes are INCLUDED by default — torchray's voc_as_mask
+    # (datasets.py:98-125) builds the mask with no difficult filter; the
+    # difficult subset is handled by the benchmark's flag list, not the mask
+    assert voc_annotation_to_mask(str(p), "dog")[24, 24] == 1
+    assert voc_annotation_to_mask(str(p), "dog", include_difficult=False) is None
     assert voc_annotation_to_mask(str(p), "person") is None
 
 
@@ -44,11 +46,13 @@ def test_voc_dataset_iteration(tmp_path):
     (root / "Annotations" / "img1.xml").write_text(VOC_XML)
     (root / "ImageSets" / "Main" / "test.txt").write_text("img1\n")
     items = list(voc_dataset(str(root)))
-    assert len(items) == 1  # only the non-difficult cat
-    path, class_id, mask = items[0]
-    assert path.endswith("img1.jpg")
-    assert VOC_CLASSES[class_id] == "cat"
-    assert mask.sum() > 0
+    # reference protocol: class presence ignores the difficult flag
+    # (voc_as_class_ids, datasets.py:81-95) -> both cat and dog pairs
+    assert len(items) == 2
+    by_class = {VOC_CLASSES[cid]: (path, mask) for path, cid, mask in items}
+    assert set(by_class) == {"cat", "dog"}
+    assert by_class["cat"][0].endswith("img1.jpg")
+    assert by_class["cat"][1].sum() > 0 and by_class["dog"][1][24, 24] == 1
 
 
 def test_coco_polygon_and_bbox(tmp_path):

@@ -217,3 +217,22 @@ class TestIgosVideoExport:
         assert out.endswith(".gif")
         with Image.open(out) as im:
             assert im.n_frames == 3
+
+
+class TestAlignCornersResize:
+    def test_matches_torch_upsampling_bilinear2d(self):
+        """The reference's mask upsampler is nn.UpsamplingBilinear2d —
+        align_corners=True (IGOS.py:274-276); jax.image.resize (half-pixel)
+        differs by up to ~0.3 on a 112->224 map, so IGOS uses its own
+        align-corners resize."""
+        import torch
+
+        from scouter_tpu.explain.igos import _resize_bilinear_align_corners
+
+        m = np.random.RandomState(0).rand(112, 112).astype(np.float32)
+        for oh, ow in ((224, 224), (260, 197), (64, 64)):
+            want = torch.nn.UpsamplingBilinear2d(size=(oh, ow))(
+                torch.from_numpy(m)[None, None]).numpy()[0, 0]
+            got = np.asarray(_resize_bilinear_align_corners(
+                jnp.asarray(m), oh, ow))
+            np.testing.assert_allclose(got, want, atol=5e-5)

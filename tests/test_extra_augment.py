@@ -47,8 +47,8 @@ class TestTfPreprocessing:
 
         t = TfPreprocessTransform(is_training=False, size=224)
         out = t(self._img(300, 400))
-        assert out.shape == (224, 224, 3) and out.dtype == np.float32
-        assert 0.0 <= out.min() and out.max() <= 255.0
+        # reference rounds/clips/casts to uint8 (tf_preprocessing.py:223-225)
+        assert out.shape == (224, 224, 3) and out.dtype == np.uint8
         # crop size formula: size/(size+32) * min(h,w)
         top, left, ch, cw = center_crop_box(300, 400, 224)
         assert ch == cw == int(224 / (224 + CROP_PADDING) * 300)
@@ -58,15 +58,48 @@ class TestTfPreprocessing:
         from scouter_tpu.data.tf_pre import random_crop_box
 
         rng = np.random.RandomState(3)
-        for _ in range(50):
+        for _ in range(200):
             box = random_crop_box(200, 300, rng)
-            assert box is not None
+            if box is None:  # whole-image or exhausted attempts -> center crop
+                continue
             top, left, ch, cw = box
             assert 0 <= top and top + ch <= 200
             assert 0 <= left and left + cw <= 300
             area_frac = (ch * cw) / (200 * 300)
-            assert 0.05 <= area_frac <= 1.01
+            # min_object_covered=0.1 against the whole-image bbox floors the
+            # crop at 10% of image area (tighter than area_range's 0.08)
+            assert 0.099 <= area_frac <= 1.001
             assert 0.70 <= cw / ch <= 1.40  # aspect range with int rounding
+
+    def test_train_crop_height_is_uniform_not_area(self):
+        """The TF kernel samples crop HEIGHT uniformly between the bounds the
+        area range implies — uniform-area sampling would pile mass on large
+        heights (h = sqrt(area) transforms uniform area into a density
+        proportional to h)."""
+        from scouter_tpu.data.tf_pre import random_crop_box
+
+        rng = np.random.RandomState(11)
+        heights = []
+        for _ in range(4000):
+            box = random_crop_box(400, 400, rng,
+                                  aspect_ratio_range=(1.0, 1.0))
+            if box is not None:
+                heights.append(box[2])
+        heights = np.asarray(heights)
+        # with aspect=1 and min_object_covered=0.1: h in [127, 400] uniform
+        # (minus the 10%-area rejection below h=127 and the whole-image
+        # fallback at 400). A uniform-area sampler would put ~2/3 of the
+        # mass above the midpoint; uniform height puts ~1/2.
+        mid = (heights.min() + heights.max()) / 2
+        frac_hi = (heights > mid).mean()
+        assert 0.42 <= frac_hi <= 0.58, frac_hi
+
+    def test_chw_layout_option(self):
+        from scouter_tpu.data.tf_pre import TfPreprocessTransform
+
+        t = TfPreprocessTransform(is_training=False, size=32, chw=True)
+        out = t(self._img(64, 64))
+        assert out.shape == (3, 32, 32) and out.dtype == np.uint8
 
     def test_train_is_stochastic_and_shaped(self):
         from scouter_tpu.data.tf_pre import TfPreprocessTransform

@@ -60,6 +60,10 @@ def save_checkpoint(
     epoch: int,
 ) -> Tuple[str, ...]:
     """Save latest (+ archival per the reference cadence). Returns paths written."""
+    # rank gate BEFORE serialization: non-zero processes would otherwise pay a
+    # full device->host transfer + serialize per epoch only to discard the blob
+    if jax.process_index() != 0:
+        return tuple()
     blob = msgpack.packb(
         {
             "state": fser.to_bytes(_to_host(state)),

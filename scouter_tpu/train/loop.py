@@ -86,7 +86,10 @@ class Trainer:
             seed=cfg.seed, mesh=self.mesh,
         )
 
-        sample_shape = (cfg.batch_size, cfg.img_size, cfg.img_size,
+        # batch 1: param shapes are batch-independent and model.init runs a
+        # real forward — the full training batch would cost ~bs x the FLOPs
+        # and peak memory for identical params
+        sample_shape = (1, cfg.img_size, cfg.img_size,
                         1 if cfg.dataset == "MNIST" else 3)
         variables = self.model.init(
             jax.random.PRNGKey(cfg.seed), np.zeros(sample_shape, np.float32)
@@ -116,13 +119,12 @@ class Trainer:
         (``saved_model/{ds}_no_slot_checkpoint``), slot head stays fresh."""
         if not (self.cfg.use_slot and self.cfg.use_pre):
             return
-        no_slot_cfg = self.cfg.replace(use_slot=False, loss_status=1)
+        # the reference always loads the PLAIN '{ds}_no_slot_checkpoint'
+        # (slot_model.py:27) — cal_area_size only decorates the name of the
+        # run being trained, never the pretraining handoff source
+        no_slot_cfg = self.cfg.replace(use_slot=False, loss_status=1,
+                                       cal_area_size=False)
         path = checkpoint_path(self.cfg.output_dir, no_slot_cfg)
-        import msgpack
-        import flax.serialization as fser
-
-        with open(path, "rb") as f:
-            payload = msgpack.unpackb(f.read(), raw=False)
         # restore onto a no-slot template to get its params, then graft the
         # backbone subtree into our state
         no_slot_model = build_slot_model(no_slot_cfg)
@@ -132,7 +134,7 @@ class Trainer:
         )
         ns_vars = no_slot_model.init(jax.random.PRNGKey(0), sample)
         ns_state, _ = create_train_state(ns_vars, self.cfg.lr)
-        ns_state = fser.from_bytes(ns_state, payload["state"])
+        ns_state, _, _ = restore_checkpoint(path, ns_state)
         variables = {
             "params": {**self.state.params, "backbone": ns_state.params["backbone"]},
         }

@@ -24,8 +24,24 @@ def no_decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
 
+def _wd_tree(params: Any, weight_decay: float, mask: Any):
+    """Per-leaf decay coefficients honoring the add_weight_decay grouping
+    (timm/optim/optim_factory.py:11-24): ndim<=1 leaves (biases, norm scales)
+    get wd=0 — timm passes wd per param GROUP, so optimizers that fold decay
+    into the gradient must respect the mask too."""
+    import jax
+
+    if params is None:
+        return None
+    if mask is None:
+        return jax.tree_util.tree_map(lambda _: weight_decay, params)
+    return jax.tree_util.tree_map(
+        lambda mk: weight_decay if mk else 0.0, mask)
+
+
 def _timm_nadam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                weight_decay: float = 0.0, schedule_decay: float = 4e-3):
+                weight_decay: float = 0.0, schedule_decay: float = 4e-3,
+                wd_tree: Any = None):
     """timm Nadam (``timm/optim/nadam.py:34-92``): Nesterov-Adam with the 0.96
     momentum warm-up schedule. Trajectory-parity tested vs the reference."""
     import jax
@@ -47,8 +63,10 @@ def _timm_nadam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
         msched_next = msched_new * mc_t1
 
         if weight_decay and params is not None:
+            wds = wd_tree if wd_tree is not None else jax.tree_util.tree_map(
+                lambda _: weight_decay, params)
             grads = jax.tree_util.tree_map(
-                lambda g, p: g + weight_decay * p, grads, params)
+                lambda g, p, w: g + w * p, grads, params, wds)
 
         exp_avg = jax.tree_util.tree_map(
             lambda m, g: b1 * m + (1.0 - b1) * g, state["exp_avg"], grads)
@@ -68,7 +86,8 @@ def _timm_nadam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
 
 
 def _timm_novograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
-                   weight_decay: float = 0.0, grad_averaging: bool = False):
+                   weight_decay: float = 0.0, grad_averaging: bool = False,
+                   wd_tree: Any = None):
     """timm NovoGrad (``timm/optim/novograd.py:12-77``), including its init
     quirk: the first gradient seeds v/m before the regular step runs on it."""
     import jax
@@ -85,11 +104,11 @@ def _timm_novograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1
         tf = t.astype(jnp.float32)
         first = state["step"] == 0
 
-        def leaf(g, p, v, m, gema):
+        def leaf(g, p, w, v, m, gema):
             g2_raw = jnp.sum(g * g)
             # init pass on the first step (novograd.py:31-46)
             v0 = g2_raw
-            m0 = g / (jnp.sqrt(v0) + eps) + weight_decay * p
+            m0 = g / (jnp.sqrt(v0) + eps) + w * p
             v_in = jnp.where(first, v0, v)
             m_in = jnp.where(first, m0, m)
             gema_new = jnp.where(first, g2_raw, b2 * gema + (1.0 - b2) * g2_raw)
@@ -98,12 +117,14 @@ def _timm_novograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1
                 gn = gn * (1.0 - b1)
             g2 = jnp.sum(gn * gn)
             v_new = b2 * v_in + (1.0 - b2) * g2
-            m_new = b1 * m_in + (gn / (jnp.sqrt(v_new) + eps) + weight_decay * p)
+            m_new = b1 * m_in + (gn / (jnp.sqrt(v_new) + eps) + w * p)
             step_size = lr * jnp.sqrt(1.0 - b2**tf) / (1.0 - b1**tf)
             return -step_size * m_new, v_new, m_new, gema_new
 
+        wds = wd_tree if wd_tree is not None else jax.tree_util.tree_map(
+            lambda _: weight_decay, params)
         flat = jax.tree_util.tree_map(
-            leaf, grads, params, state["v"], state["m"], state["grad_ema"])
+            leaf, grads, params, wds, state["v"], state["m"], state["grad_ema"])
         updates = jax.tree_util.tree_map(lambda r: r[0], flat,
                                          is_leaf=lambda x: isinstance(x, tuple))
         v = jax.tree_util.tree_map(lambda r: r[1], flat,
@@ -118,7 +139,8 @@ def _timm_novograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1
 
 
 def _timm_nvnovograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float = 1e-8,
-                     weight_decay: float = 0.0, grad_averaging: bool = False):
+                     weight_decay: float = 0.0, grad_averaging: bool = False,
+                     wd_tree: Any = None):
     """timm NvNovoGrad (``timm/optim/nvnovograd.py:30-118``): per-tensor scalar
     second moment seeded by the first gradient norm."""
     import jax
@@ -133,17 +155,19 @@ def _timm_nvnovograd(lr: float, b1: float = 0.95, b2: float = 0.98, eps: float =
         t = state["step"] + 1
         first = state["step"] == 0
 
-        def leaf(g, p, m, vsq):
+        def leaf(g, p, w, m, vsq):
             norm = jnp.sum(g * g)
             vsq_new = jnp.where(first, norm, b2 * vsq + (1.0 - b2) * norm)
             gn = g / (jnp.sqrt(vsq_new) + eps)
-            gn = gn + weight_decay * p
+            gn = gn + w * p
             if grad_averaging:
                 gn = gn * (1.0 - b1)
             m_new = b1 * m + gn
             return -lr * m_new, m_new, vsq_new
 
-        flat = jax.tree_util.tree_map(leaf, grads, params,
+        wds = wd_tree if wd_tree is not None else jax.tree_util.tree_map(
+            lambda _: weight_decay, params)
+        flat = jax.tree_util.tree_map(leaf, grads, params, wds,
                                       state["exp_avg"], state["exp_avg_sq"])
         updates = jax.tree_util.tree_map(lambda r: r[0], flat,
                                          is_leaf=lambda x: isinstance(x, tuple))
@@ -172,7 +196,8 @@ def _base(opt: str, lr: float, weight_decay: float, momentum: float, eps: float,
     elif opt == "nadam":
         # timm's Nadam with the 0.96 momentum warm-up schedule (trajectory
         # parity vs the reference; optax.nadam implements a different variant)
-        tx = _timm_nadam(lr, eps=eps, weight_decay=weight_decay)
+        tx = _timm_nadam(lr, eps=eps, weight_decay=weight_decay,
+                         wd_tree=_wd_tree(params, weight_decay, mask))
         return tx, True
     elif opt == "radam":
         tx = optax.radam(lr, eps=eps)
@@ -181,10 +206,12 @@ def _base(opt: str, lr: float, weight_decay: float, momentum: float, eps: float,
         tx = optax.rmsprop(lr, decay=0.9, eps=eps, momentum=momentum,
                            initial_scale=1.0 if opt == "rmsproptf" else 0.0)
     elif opt == "novograd":
-        tx = _timm_novograd(lr, eps=eps, weight_decay=weight_decay)
+        tx = _timm_novograd(lr, eps=eps, weight_decay=weight_decay,
+                            wd_tree=_wd_tree(params, weight_decay, mask))
         return tx, True
     elif opt == "nvnovograd":
-        tx = _timm_nvnovograd(lr, eps=eps, weight_decay=weight_decay)
+        tx = _timm_nvnovograd(lr, eps=eps, weight_decay=weight_decay,
+                              wd_tree=_wd_tree(params, weight_decay, mask))
         return tx, True
     elif opt == "adadelta":
         tx = optax.adadelta(lr, eps=eps)

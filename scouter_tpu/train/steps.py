@@ -150,12 +150,37 @@ def make_train_step(
 def make_eval_step(
     model, lambda_value: float
 ) -> Callable[[TrainState, Batch], Dict[str, jnp.ndarray]]:
+    """Jitted eval step. With a padded batch ('mask' present), EVERY loss
+    component is computed over the real samples only — the reference's tail
+    val batch is simply smaller (engine.py:17-52), so its per-batch loss
+    averages real samples; an unmasked mean here would be dominated by the
+    pad duplicates. The area loss is re-derived per-sample from the attention
+    (mean of relu(attn) over (S, N), masked batch mean, then ^power — the
+    batch-global form of slot_attention.py:93-96)."""
+    power = float(getattr(model, "power", 1.0))
+
     def eval_step(state: TrainState, batch: Batch):
         out, _ = _forward(model, state.variables(), batch["image"], train=False)
-        _, losses = scouter_loss(
-            out["logits"], batch["label"], out.get("area_loss"), lambda_value
-        )
-        return _metrics(out, losses, batch["label"], batch.get("mask"))
+        mask = batch.get("mask")
+        if mask is None:
+            _, losses = scouter_loss(
+                out["logits"], batch["label"], out.get("area_loss"), lambda_value
+            )
+            return _metrics(out, losses, batch["label"], None)
+        mask = mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        log_probs = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=1)
+        per_nll = -jnp.take_along_axis(log_probs, batch["label"][:, None], axis=1)[:, 0]
+        nll = jnp.sum(per_nll * mask) / denom
+        if out.get("area_loss") is not None and "attn" in out:
+            per_area = jnp.mean(
+                jax.nn.relu(out["attn"].astype(jnp.float32)), axis=(1, 2))
+            area = (jnp.sum(per_area * mask) / denom) ** power
+            losses = {"loss": nll + lambda_value * area,
+                      "log_loss": nll, "att_loss": area}
+        else:
+            losses = {"loss": nll}
+        return _metrics(out, losses, batch["label"], mask)
 
     return jax.jit(eval_step)
 

@@ -54,6 +54,34 @@ class TestTrainStep:
         assert set(m) == {"loss", "acc", "log_loss", "att_loss"}
         assert 0.0 <= m["acc"] <= 1.0
 
+    def test_eval_losses_masked_on_padded_batch(self):
+        """A padded val batch must report the SAME loss components as the
+        unpadded real samples (the reference's tail batch is simply smaller,
+        engine.py:17-52) — pad duplicates must not leak into loss/log_loss/
+        att_loss, not just acc."""
+        from scouter_tpu.train import make_eval_step
+
+        cfg = small_cfg()
+        model = build_slot_model(cfg)
+        x5 = np.random.RandomState(0).rand(5, 64, 64, 1).astype(np.float32)
+        y5 = np.arange(5, dtype=np.int32) % cfg.num_classes
+        variables = model.init(jax.random.PRNGKey(0), x5)
+        state, _ = create_train_state(variables, 1e-3)
+        eval_step = make_eval_step(model, float(cfg.lambda_value))
+
+        # padded batch: 5 real + 3 pad copies of a DIFFERENT image
+        pad = np.repeat(np.random.RandomState(1).rand(1, 64, 64, 1), 3, 0)
+        batch = {
+            "image": jnp.asarray(np.concatenate([x5, pad.astype(np.float32)])),
+            "label": jnp.asarray(np.concatenate([y5, np.zeros(3, np.int32)])),
+            "mask": jnp.asarray([1.0] * 5 + [0.0] * 3),
+        }
+        got = eval_step(state, batch)
+        want = eval_step(state, {"image": jnp.asarray(x5), "label": jnp.asarray(y5)})
+        for k in ("loss", "acc", "log_loss", "att_loss"):
+            np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
+
     def test_fit_returns_train_val_acc(self):
         cfg = small_cfg(epochs=1)
         out = Trainer(cfg, datasets=make_datasets()).fit()

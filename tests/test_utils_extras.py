@@ -171,6 +171,26 @@ class TestUsePre:
         after = np.asarray(t2.state.params["backbone"]["conv1"]["kernel"])
         np.testing.assert_array_equal(after, bb_kernel)
 
+    def test_handoff_ignores_cal_area_size(self, tmp_path):
+        """The reference always loads the PLAIN '{ds}_no_slot_checkpoint'
+        (slot_model.py:27) — a cal_area_size slot run must not look for a
+        'for_area_size'-decorated no-slot file that was never written."""
+        from scouter_tpu.core.checkpoint import save_checkpoint
+        from scouter_tpu.train import Trainer
+        from test_train import make_datasets, small_cfg
+
+        ns_cfg = small_cfg(use_slot=False, output_dir=str(tmp_path))
+        t1 = Trainer(ns_cfg, datasets=make_datasets())
+        save_checkpoint(str(tmp_path), ns_cfg, t1.state, 0)
+        bb_kernel = np.asarray(t1.state.params["backbone"]["conv1"]["kernel"])
+
+        slot_cfg = small_cfg(use_slot=True, use_pre=True,
+                             cal_area_size=True, output_dir=str(tmp_path))
+        t2 = Trainer(slot_cfg, datasets=make_datasets())
+        t2.maybe_use_pre()  # raised FileNotFoundError before the fix
+        np.testing.assert_array_equal(
+            np.asarray(t2.state.params["backbone"]["conv1"]["kernel"]), bb_kernel)
+
 
 class TestOptimizerReferenceParity:
     """Trajectory parity vs the vendored timm optimizers (timm/optim/)."""
@@ -322,3 +342,48 @@ class TestLossReferenceParity:
             jnp.asarray(aug2.numpy()), jnp.asarray(labels.numpy()),
             alpha=12.0, smoothing=0.1))
         assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestWeightDecayMask:
+    def test_folded_decay_optimizers_skip_ndim1_params(self):
+        """nadam/novograd/nvnovograd fold weight decay into the gradient; the
+        add_weight_decay grouping (wd=0 for ndim<=1 leaves — biases, norm
+        scales) must survive that folding (timm passes wd per param group)."""
+        import jax
+        import jax.numpy as jnp
+
+        from scouter_tpu.train.optim_factory import create_optimizer
+
+        import optax
+
+        # two steps with DIFFERENT grads: nadam's first step is element-wise
+        # sign-only (update = ±lr·const regardless of |g|), so a single step
+        # cannot distinguish wd>0 from wd=0
+        rng = np.random.RandomState(0)
+        params0 = {"w": jnp.asarray(rng.randn(4, 4).astype(np.float32)),
+                   "b": jnp.asarray(rng.randn(4).astype(np.float32))}
+        grad_seq = [
+            {"w": jnp.asarray(rng.randn(4, 4).astype(np.float32)),
+             "b": jnp.asarray(rng.randn(4).astype(np.float32))}
+            for _ in range(2)
+        ]
+
+        def run(tx):
+            params, state = params0, tx.init(params0)
+            for g in grad_seq:
+                updates, state = tx.update(g, state, params)
+                params = optax.apply_updates(params, updates)
+            return params
+
+        for name in ("nadam", "novograd", "nvnovograd"):
+            p_wd = run(create_optimizer(name, lr=1e-2, weight_decay=0.1,
+                                        params=params0))
+            p_0 = run(create_optimizer(name, lr=1e-2, weight_decay=0.0,
+                                       params=params0))
+            # bias (ndim 1): decay must NOT apply -> identical trajectory
+            np.testing.assert_allclose(np.asarray(p_wd["b"]),
+                                       np.asarray(p_0["b"]), rtol=1e-6,
+                                       err_msg=name)
+            # weight (ndim 2): decay must apply -> trajectories diverge
+            assert np.abs(np.asarray(p_wd["w"]) -
+                          np.asarray(p_0["w"])).max() > 1e-7, name

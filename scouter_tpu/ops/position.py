@@ -49,8 +49,12 @@ def sine_position_embedding(
     features (reference ``position_encode.py:78``).
     """
     num_pos_feats = hidden_dim // 2
-    if num_pos_feats * 2 != hidden_dim:
-        raise ValueError(f"hidden_dim must be even, got {hidden_dim}")
+    if hidden_dim % 4 != 0:
+        # the sin/cos interleave splits num_pos_feats = hidden_dim//2 into
+        # even/odd halves that must be equal-sized; hidden_dim = 2 mod 4
+        # crashes the reference's torch.stack the same way (DETR position
+        # encoding requires hidden_dim divisible by 4)
+        raise ValueError(f"hidden_dim must be divisible by 4, got {hidden_dim}")
 
     # cumsum of an all-ones mask == 1..h / 1..w (reference :29-32), then
     # normalized by the last value + eps and scaled by 2*pi (reference :33-36).

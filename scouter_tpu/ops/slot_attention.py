@@ -46,7 +46,6 @@ class XSlotConfig:
     slots_per_class: int = 1
     dim: int = 64
     iters: int = 3
-    eps: float = 1e-8
     loss_status: float = 1.0
     power: float = 1.0
     to_k_layer: int = 1

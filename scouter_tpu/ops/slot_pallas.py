@@ -40,7 +40,7 @@ def _gru_mm(x, w):
 
 
 def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
-            upd_ref, attn_ref, hist_ref, *, iters: int, scale: float):
+            upd_ref, attn_ref, hist_ref=None, *, iters: int, scale: float):
     k = k_ref[0]  # (N, d)
     v = v_ref[0]  # (N, d)
     slots = slots_ref[:]  # (S, d)
@@ -53,7 +53,9 @@ def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
     updates = attn = None
     for it in range(iters):
         # checkpoint the iteration's input slots for the backward pass
-        hist_ref[0, it] = slots
+        # (inference builds without the hist output — no wasted HBM writes)
+        if hist_ref is not None:
+            hist_ref[0, it] = slots
         # dots = (slots @ k^T) * d^-0.5              (slot_attention.py:55)
         dots = jax.lax.dot_general(
             slots, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -80,14 +82,28 @@ def _kernel(k_ref, v_ref, slots_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref,
 
 
 def _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
-                   *, iters: int, interpret: bool):
-    """Returns (updates, attn, slots_history); history[i] = slots entering
-    iteration i — the checkpoints the backward pass rebuilds each step from."""
+                   *, iters: int, interpret: bool, emit_hist: bool = True):
+    """Returns (updates, attn[, slots_history]); history[i] = slots entering
+    iteration i — the checkpoints the backward pass rebuilds each step from.
+    ``emit_hist=False`` (inference) builds the kernel without the history
+    output: no (B, iters, S, d) HBM writes for a buffer nobody reads."""
     b, n, d = k.shape
     s = initial_slots.shape[0]
     scale = float(d) ** -0.5
     kernel = functools.partial(_kernel, iters=iters, scale=scale)
     grid = (b,)
+    out_specs = [
+        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, s, n), jnp.float32),
+    ]
+    if emit_hist:
+        out_specs.append(pl.BlockSpec((1, iters, s, d), lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, iters, s, d), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -100,17 +116,8 @@ def _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
             pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, iters, s, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, s, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, s, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, iters, s, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh)
 
@@ -144,8 +151,11 @@ def xslot_iterations_fused(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
       initial_slots: (S, d); GRU weights in torch layout, biases as (1, 3d).
     Returns: (updates (B, S, d), attn (B, S, N)) from the final iteration.
     """
-    upd, attn, _hist = _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
-                                      iters=iters, interpret=interpret)
+    # primal (inference, no grad being traced): hist-free kernel build —
+    # the (B, iters, S, d) checkpoint buffer exists only under the VJP
+    upd, attn = _fused_forward(k, v, initial_slots, w_ih, w_hh, b_ih, b_hh,
+                               iters=iters, interpret=interpret,
+                               emit_hist=False)
     return upd, attn
 
 

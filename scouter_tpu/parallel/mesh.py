@@ -48,8 +48,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the leading axis sharded over 'data'."""
+    """Shard a host batch's leading axis over 'data'.
+
+    Multi-process: each host passes its LOCAL batch and the global array is
+    assembled across processes (``jax.device_put`` with a global sharding
+    would raise on non-addressable devices — or scramble per-host data).
+    Mirrors the Loader's put path (data/pipeline.py)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -18,11 +18,14 @@ class ModelEma:
     def __init__(self, params: Any, decay: float = 0.9999):
         self.decay = decay
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        # decay is a TRACED argument: timm-style warmup mutates ema.decay per
+        # step, and a closure-captured float would be baked in at first trace
         self._update = jax.jit(
-            lambda ema, p: jax.tree_util.tree_map(
-                lambda e, q: self.decay * e + (1.0 - self.decay) * q, ema, p
+            lambda ema, p, d: jax.tree_util.tree_map(
+                lambda e, q: d * e + (1.0 - d) * q, ema, p
             )
         )
 
     def update(self, params: Any) -> None:
-        self.params = self._update(self.params, params)
+        self.params = self._update(self.params, params,
+                                   jnp.asarray(self.decay, jnp.float32))

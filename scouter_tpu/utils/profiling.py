@@ -28,6 +28,13 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _barrier():
+    import jax.numpy as jnp
+
+    return jnp.zeros(())
+
+
 class Timer:
     """Accurate device timing: blocks on the result before reading the clock."""
 
@@ -36,6 +43,12 @@ class Timer:
 
     @contextlib.contextmanager
     def measure(self, result_getter: Optional[Callable[[], Any]] = None):
+        # drain previously dispatched async work before starting the clock —
+        # otherwise an un-awaited prior step is charged to this region. A
+        # trivial jitted program enqueues after all pending work on the
+        # default device's (single) execution stream, so blocking on it is a
+        # device barrier.
+        jax.block_until_ready(_barrier())
         t0 = time.perf_counter()
         yield
         if result_getter is not None:

@@ -9,6 +9,8 @@ import operator
 import os
 from typing import Any, List, Optional, Tuple
 
+import jax
+
 from ..core.checkpoint import save_on_master
 
 __all__ = ["CheckpointSaver"]
@@ -37,12 +39,15 @@ class CheckpointSaver:
         return self.checkpoint_files[-1][1] if self.checkpoint_files else None
 
     def save_checkpoint(self, blob: bytes, epoch: int, metric: float) -> Optional[float]:
-        """Store if it ranks in the top max_history. Returns new best metric."""
+        """Store if it ranks in the top max_history. Returns new best metric.
+
+        Filesystem mutations (evictions) are rank-0 gated like the writes —
+        a non-master rank must not delete checkpoints it never replaces."""
         worst = self._worst()
         if len(self.checkpoint_files) < self.max_history or worst is None or self.cmp(metric, worst):
             if len(self.checkpoint_files) >= self.max_history:
                 path, _ = self.checkpoint_files.pop()
-                if os.path.exists(path):
+                if jax.process_index() == 0 and os.path.exists(path):
                     os.remove(path)
             path = os.path.join(self.checkpoint_dir, f"checkpoint-{epoch}.msgpack")
             save_on_master(blob, path)
@@ -54,12 +59,19 @@ class CheckpointSaver:
         return self.best_metric
 
     def save_recovery(self, blob: bytes, epoch: int, batch_idx: int) -> str:
-        """Batch-level recovery shard (timm/utils.py:130-140)."""
+        """Batch-level recovery shard (timm/utils.py:130-140).
+
+        Write-then-clean, rank-0 only: deleting the old shard first would
+        leave a crash window with ZERO recovery points (the exact loss the
+        shard exists to prevent), and non-master ranks must not delete files
+        they never replace."""
         path = os.path.join(self.recovery_dir, f"recovery-{epoch}-{batch_idx}.msgpack")
+        if jax.process_index() != 0:
+            return path
+        save_on_master(blob, path)
         for old in glob.glob(os.path.join(self.recovery_dir, "recovery-*.msgpack")):
             if old != path:
                 os.remove(old)
-        save_on_master(blob, path)
         return path
 
     def find_recovery(self) -> Optional[str]:

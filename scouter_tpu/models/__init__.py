@@ -20,7 +20,9 @@ __all__ = [
     "create_model",
     "is_model",
     "list_models",
+    "merge_variables",
     "model_entrypoint",
+    "prepare_pretrained_state_dict",
     "register_model",
     "strip_prefix",
     "torch_state_dict_to_variables",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import batch_norm, blur_pool, conv2d, global_avg_pool, max_pool_3x3_s2_p1
+from .layers import batch_norm, blur_pool, conv2d, global_avg_pool, head_dropout, max_pool_3x3_s2_p1
 from .registry import register_model
 
 __all__ = ["DenseNet"]
@@ -142,8 +142,7 @@ class DenseNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False,
-                 rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         stem_type = self.stem_type
         feats = _Features(
             growth_rate=self.growth_rate, block_config=self.block_config,
@@ -154,6 +153,7 @@ class DenseNet(nn.Module):
         if features_only:
             return feats
         pooled = global_avg_pool(feats)
+        pooled = head_dropout(pooled, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="classifier")(pooled)
 
 

@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from .act import relu
 from .act import residual_add as _residual_add
-from .layers import avg_pool_include_pad, batch_norm, conv2d
+from .layers import avg_pool_include_pad, batch_norm, conv2d, head_dropout
 from .registry import register_model
 
 __all__ = ["DLA"]
@@ -196,7 +196,7 @@ class DLA(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         ch = self.channels
         x = conv2d(ch[0], 7, padding=3, dtype=d, name="base_layer_0")(x)
@@ -227,6 +227,7 @@ class DLA(nn.Module):
         if features_only:
             return x
         pooled = x.mean(axis=(1, 2), keepdims=True)
+        pooled = head_dropout(pooled, self.drop_rate, train)
         out = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=d, name="fc")(pooled)
         return out.reshape(out.shape[0], -1)
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import conv2d, global_avg_pool, max_pool_3x3_s2_p1
+from .layers import conv2d, global_avg_pool, head_dropout, max_pool_3x3_s2_p1
 from .registry import register_model
 
 __all__ = ["DPN"]
@@ -132,7 +132,7 @@ class DPN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         bw_factor = 1 if self.small else 4
 
@@ -163,6 +163,7 @@ class DPN(nn.Module):
         if features_only:
             return feats
         pooled = feats.mean(axis=(1, 2), keepdims=True)
+        pooled = head_dropout(pooled, self.drop_rate, train)  # dpn.py:274-275
         out = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=d,
                       name="classifier")(pooled)
         return out.reshape(out.shape[0], -1)

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu as _act_relu, residual_add as _residual_add
-from .layers import batch_norm, conv2d, global_avg_pool, torch_conv_padding
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout, torch_conv_padding
 from .pruned import WidthOverrides, scope_widths, width_of
 from .registry import register_model
 
@@ -546,7 +546,7 @@ class EfficientNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         act = _ACTS[self.act]
         stem = self.stem_size if self.fix_stem else round_channels(
             self.stem_size, self.channel_multiplier)
@@ -569,6 +569,7 @@ class EfficientNet(nn.Module):
             # classifier for 'efficient' models, slot_model.py:41-43)
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="classifier")(x)
 
 
@@ -591,7 +592,7 @@ class MobileNetV3(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         act = _ACTS[self.act]
         stem = round_channels(self.stem_size, self.channel_multiplier)
         x = conv2d(stem, 3, stride=2, padding=self.pad, dtype=self.dtype,
@@ -609,6 +610,7 @@ class MobileNetV3(nn.Module):
                     dtype=self.dtype, name="conv_head")(x)
         x = act(x)
         x = x.reshape(x.shape[0], -1)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="classifier")(x)
 
 

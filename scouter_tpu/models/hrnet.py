@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import batch_norm, conv2d, global_avg_pool
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 from .resnet import _BasicBlock, _Bottleneck
 
@@ -101,7 +101,7 @@ class HighResolutionNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         cfg = dict(self.cfg)
         x = conv2d(cfg["STEM_WIDTH"], 3, stride=2, padding=1, dtype=d, name="conv1")(x)
@@ -169,7 +169,8 @@ class HighResolutionNet(nn.Module):
         y = relu(batch_norm(train, dtype=d, name="final_layer_1")(y))
         if features_only:
             return y
-        return nn.Dense(self.num_classes, name="classifier")(global_avg_pool(y))
+        y = head_dropout(global_avg_pool(y), self.drop_rate, train)
+        return nn.Dense(self.num_classes, name="classifier")(y)
 
 
 def _stage(modules, branches, block, blocks, channels):

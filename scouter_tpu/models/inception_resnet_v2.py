@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from .act import relu
 from .inception_v4 import _Conv, _avgpool3_s1_p1_nopad, _maxpool3_s2, _seq
-from .layers import conv2d, global_avg_pool
+from .layers import conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["InceptionResnetV2"]
@@ -111,7 +111,7 @@ class InceptionResnetV2(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         x = _Conv(32, 3, 2, dtype=d, name="conv2d_1a")(x, train)
         x = _Conv(32, 3, 1, dtype=d, name="conv2d_2a")(x, train)
@@ -134,6 +134,7 @@ class InceptionResnetV2(nn.Module):
         if features_only:
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="classif")(x)
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import avg_pool_include_pad, global_avg_pool
+from .layers import avg_pool_include_pad, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["InceptionV3"]
@@ -149,7 +149,7 @@ class InceptionV3(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         x = _BasicConv(32, 3, stride=2, dtype=d, name="Conv2d_1a_3x3")(x, train)
         x = _BasicConv(32, 3, dtype=d, name="Conv2d_2a_3x3")(x, train)
@@ -172,6 +172,7 @@ class InceptionV3(nn.Module):
         if features_only:
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="fc")(x)
 
 

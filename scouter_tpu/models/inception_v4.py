@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import global_avg_pool
+from .layers import global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["InceptionV4"]
@@ -187,7 +187,7 @@ class InceptionV4(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         blocks = (
             [lambda n: _Conv(32, 3, 2, dtype=d, name=n),
@@ -207,6 +207,7 @@ class InceptionV4(nn.Module):
         if features_only:
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="last_linear")(x)
 
 

@@ -106,6 +106,33 @@ def avg_pool_include_pad(x: jnp.ndarray, window: int, stride: int, pad: int) -> 
     )
 
 
+def head_dropout(x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
+    """timm head dropout: ``F.dropout(x, drop_rate, training)`` right before
+    the classifier (e.g. ``timm/models/resnet.py:505-507``). Active only when
+    training with rate > 0; the training step must then supply a ``'dropout'``
+    rng to ``apply()`` (train/steps.py does)."""
+    if rate > 0.0:
+        x = nn.Dropout(rate=rate)(x, deterministic=not train)
+    return x
+
+
+def avg_pool_same_zero_pad(x: jnp.ndarray, window: int = 2, stride: int = 1) -> jnp.ndarray:
+    """timm ``AvgPool2dSame(window, stride, ceil_mode=True,
+    count_include_pad=False)`` (``layers/pool2d_same.py:14-31``): SAME
+    zero-pad then a PLAIN average — the externally padded zeros count as real
+    elements (the module pads before calling avg_pool2d with padding=0, per
+    its own FIXME), so edge windows divide by the full window size. Used by
+    ``downsample_avg`` for dilated stride-1 skips (output_stride 8/16)."""
+    b, h, w, c = x.shape
+    out_h = -(-h // stride)
+    out_w = -(-w // stride)
+    pad_h = max((out_h - 1) * stride + window - h, 0)
+    pad_w = max((out_w - 1) * stride + window - w, 0)
+    x = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                    (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+    return nn.avg_pool(x, (window, window), strides=(stride, stride))
+
+
 def avg_pool_ceil_exclude_pad(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """torch AvgPool2d(window, stride, ceil_mode=True, count_include_pad=False).
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import conv2d
+from .layers import conv2d, head_dropout
 from .registry import register_model
 
 __all__ = ["NASNetALarge"]
@@ -270,7 +270,7 @@ class NASNetALarge(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         ch = self.num_features // 24
 
@@ -312,6 +312,7 @@ class NASNetALarge(nn.Module):
         if features_only:
             return x
         x = x.mean(axis=(1, 2))
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="last_linear")(x)
 
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import conv2d
+from .layers import conv2d, head_dropout
 from .registry import register_model
 
 __all__ = ["PNASNet5Large"]
@@ -214,7 +214,7 @@ class PNASNet5Large(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
 
         class _Conv0(nn.Module):
@@ -243,6 +243,7 @@ class PNASNet5Large(nn.Module):
         if features_only:
             return x
         x = x.mean(axis=(1, 2))
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="last_linear")(x)
 
 

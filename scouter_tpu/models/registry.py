@@ -45,10 +45,18 @@ def create_model(model_name: str, pretrained: bool = False, num_classes: int = 1
                  in_chans: int = 3, **kwargs):
     """Build a backbone module by name (``timm/models/factory.py:6-67`` parity).
 
-    ``pretrained=True`` has no download path in this zero-egress build; converted
-    torch weights are loaded explicitly via ``scouter_tpu.models.convert`` /
-    checkpoint restore instead. The flag is accepted for CLI compatibility and
-    recorded on the returned module's metadata.
+    ``pretrained=True`` has no download path in this zero-egress build —
+    refusing loudly beats returning silently random weights. Converted torch
+    weights load explicitly: ``torch_state_dict_to_variables`` +
+    ``merge_variables`` (see ``models/convert.py``), or the training CLI's
+    ``--pre_trained`` local-file path (``train/loop.py``).
     """
+    if pretrained:
+        raise ValueError(
+            f"create_model({model_name!r}, pretrained=True): no pretrained-"
+            "weight download exists in this build. Convert a torch state_dict "
+            "with scouter_tpu.models.torch_state_dict_to_variables (+ "
+            "prepare_pretrained_state_dict / merge_variables), or use the "
+            "training CLI's --pre_trained local checkpoint path.")
     fn = model_entrypoint(model_name)
     return fn(num_classes=num_classes, in_chans=in_chans, **kwargs)

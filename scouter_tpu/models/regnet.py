@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from .act import relu
-from .layers import batch_norm, conv2d, global_avg_pool
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["RegNet"]
@@ -128,11 +128,13 @@ class _Stage(nn.Module):
 
 class _Head(nn.Module):
     num_classes: int
+    drop_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        return nn.Dense(self.num_classes, name="fc")(global_avg_pool(x))
+    def __call__(self, x, train: bool = False):
+        x = head_dropout(global_avg_pool(x), self.drop_rate, train)
+        return nn.Dense(self.num_classes, name="fc")(x)
 
 
 class RegNet(nn.Module):
@@ -151,7 +153,7 @@ class RegNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         x = _ConvBnAct(self.stem_width, 3, stride=2, dtype=self.dtype, name="stem")(x, train)
         prev = self.stem_width
         for i, (d, w, g) in enumerate(
@@ -163,7 +165,7 @@ class RegNet(nn.Module):
             prev = w
         if features_only:
             return x
-        return _Head(self.num_classes, dtype=self.dtype, name="head")(x)
+        return _Head(self.num_classes, drop_rate=self.drop_rate, dtype=self.dtype, name="head")(x, train)
 
 
 _REGNET_CFGS = {

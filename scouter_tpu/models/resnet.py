@@ -30,11 +30,13 @@ from .layers import (
     SplitAttnConv,
     SqueezeExcite,
     avg_pool_ceil_exclude_pad,
+    avg_pool_same_zero_pad,
     avg_pool_include_pad,
     batch_norm,
     blur_pool,
     conv2d,
     global_avg_pool,
+    head_dropout,
     max_pool_3x3_s2_p1,
 )
 
@@ -58,22 +60,33 @@ class _Downsample(nn.Module):
     stride: int
     avg_down: bool
     kernel_size: int = 1  # down_kernel_size (3 for senet154, gluon_resnet.py:361)
+    dilation: int = 1
+    first_dilation: int = 0  # 0 = unset (timm's None)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.avg_down:
-            if self.stride > 1:
-                x = avg_pool_ceil_exclude_pad(x, 2, self.stride)
+            # downsample_avg (resnet.py:292-306): dilated stages (output_stride
+            # 8/16) pool at stride 1 via the SAME-padded variant — the skip is
+            # still blurred even though nothing strides
+            avg_stride = self.stride if self.dilation == 1 else 1
+            if not (self.stride == 1 and self.dilation == 1):
+                if avg_stride == 1 and self.dilation > 1:
+                    x = avg_pool_same_zero_pad(x, 2, 1)
+                else:
+                    x = avg_pool_ceil_exclude_pad(x, 2, avg_stride)
             x = conv2d(self.out_channels, 1, stride=1, padding=0, dtype=self.dtype,
                        name="downsample_1")(x)
             x = batch_norm(train, dtype=self.dtype, name="downsample_2")(x)
         else:
-            # stride-1 projections always use a 1x1 regardless of
-            # down_kernel_size (downsample_conv, resnet.py:277-281)
-            k = 1 if self.stride == 1 else self.kernel_size
-            x = conv2d(self.out_channels, k, stride=self.stride,
-                       dtype=self.dtype, name="downsample_0")(x)
+            # stride-1 undilated projections always use a 1x1 regardless of
+            # down_kernel_size (downsample_conv, resnet.py:277-283)
+            k = 1 if (self.stride == 1 and self.dilation == 1) else self.kernel_size
+            fd = (self.first_dilation or self.dilation) if k > 1 else 1
+            pad = ((self.stride - 1) + fd * (k - 1)) // 2  # timm get_padding
+            x = conv2d(self.out_channels, k, stride=self.stride, padding=pad,
+                       dilation=fd, dtype=self.dtype, name="downsample_0")(x)
             x = batch_norm(train, dtype=self.dtype, name="downsample_1")(x)
         return x
 
@@ -126,6 +139,8 @@ class _BasicBlock(nn.Module):
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
                                    kernel_size=self.down_kernel_size,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -177,6 +192,8 @@ class _Bottleneck(nn.Module):
         if self.has_downsample:
             residual = _Downsample(c3, self.stride, self.avg_down,
                                    kernel_size=self.down_kernel_size,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -224,6 +241,8 @@ class _ResNestBottleneck(nn.Module):
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -280,6 +299,8 @@ class _Res2NetBottleneck(nn.Module):
         out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -392,6 +413,8 @@ class _SKBasicBlock(nn.Module):
                       act=False, dtype=self.dtype, name="conv2")(out, train)
         if self.has_downsample:
             residual = _Downsample(self.planes, self.stride, self.avg_down,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -430,6 +453,8 @@ class _SKBottleneck(nn.Module):
                       name="conv3")(out, train)
         if self.has_downsample:
             residual = _Downsample(outplanes, self.stride, self.avg_down,
+                                   dilation=self.dilation,
+                                   first_dilation=self.first_dilation,
                                    dtype=self.dtype, name="downsample")(x, train)
         return _act_relu(_residual_add(out, residual))
 
@@ -523,7 +548,6 @@ class ResNet(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         features_only: bool = False,
-        rngs: Optional[Any] = None,
         stop_after: Optional[str] = None,
         start_from: Optional[str] = None,
     ) -> jnp.ndarray:
@@ -635,7 +659,6 @@ class ResNet(nn.Module):
 
         # ---- Head (resnet.py:503-509)
         x = global_avg_pool(x)
-        if self.drop_rate > 0.0 and train and rngs is not None:
-            x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
+        x = head_dropout(x, self.drop_rate, train)
         x = nn.Dense(self.num_classes, name="fc")(x)
         return x

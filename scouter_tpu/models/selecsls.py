@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import batch_norm, conv2d, global_avg_pool
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["SelecSLS"]
@@ -106,7 +106,7 @@ class SelecSLS(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         features, head = _CONFIGS[self.variant]
         x = _conv_bn(self, x, "stem", 32, 3, 2, train, d)
@@ -119,6 +119,7 @@ class SelecSLS(nn.Module):
         if features_only:
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="fc")(x)
 
 

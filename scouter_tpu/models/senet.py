@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from .act import relu
 from .act import residual_add as _residual_add
-from .layers import batch_norm, conv2d, global_avg_pool
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["SENet"]
@@ -169,7 +169,7 @@ class SENet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         expansion = 1 if self.block_kind == "basic" else 4
         x = _Layer0(self.inplanes, self.input_3x3, dtype=self.dtype, name="layer0")(x, train)
         current = self.inplanes
@@ -193,6 +193,7 @@ class SENet(nn.Module):
             # 'seresnet' head-strip neutralizes avg_pool + last_linear (:35-37)
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="last_linear")(x)
 
 

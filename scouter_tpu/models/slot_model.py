@@ -93,6 +93,15 @@ class XSlot(nn.Module):
         }
 
         params = {"initial_slots": initial_slots, "to_k": to_k, "gru": gru}
+        if self.dtype is not None and self.dtype != jnp.float32:
+            # honor an explicit low-precision slot head (--slot_head_dtype
+            # compute under bf16): params are stored fp32 (master copies) and
+            # cast for compute — without this the fp32 params promote every
+            # op back to fp32 and the request is silently inert
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(self.dtype), params)
+            inputs_pe = inputs_pe.astype(self.dtype)
+            inputs_x = inputs_x.astype(self.dtype)
         return xslot_attention(
             params, cfg, inputs_pe, inputs_x, fused=self.fused, interpret=self.interpret
         )

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import avg_pool_ceil_exclude_pad, conv2d, global_avg_pool
+from .layers import avg_pool_ceil_exclude_pad, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 
 __all__ = ["TResNet"]
@@ -179,17 +179,20 @@ class TResNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         planes = int(64 * self.width_factor)
         feats = _Body(self.layers, planes, dtype=self.dtype, name="body")(x, train)
         if features_only:
             return feats
+
+        outer_drop = self.drop_rate
 
         class _Head(nn.Module):
             num_classes: int
 
             @nn.compact
             def __call__(self, v):
+                v = head_dropout(v, outer_drop, train)
                 return nn.Dense(self.num_classes, name="fc")(v)
 
         return _Head(self.num_classes, name="head")(global_avg_pool(feats))

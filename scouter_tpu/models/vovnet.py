@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import relu
-from .layers import Eca, batch_norm, conv2d, global_avg_pool
+from .layers import Eca, batch_norm, conv2d, global_avg_pool, head_dropout
 from .registry import register_model
 from .senet import max_pool_3x3_s2_ceil
 
@@ -169,11 +169,13 @@ class _OsaStage(nn.Module):
 
 class _Head(nn.Module):
     num_classes: int
+    drop_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        return nn.Dense(self.num_classes, name="fc")(global_avg_pool(x))
+    def __call__(self, x, train: bool = False):
+        x = head_dropout(global_avg_pool(x), self.drop_rate, train)
+        return nn.Dense(self.num_classes, name="fc")(x)
 
 
 class VovNet(nn.Module):
@@ -193,7 +195,7 @@ class VovNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         conv_cls = _SepConvBnAct if self.depthwise else _ConvBnAct
         x = _ConvBnAct(self.stem_chs[0], 3, stride=2, norm=self.norm,
                        dtype=self.dtype, name="stem_0")(x, train)
@@ -212,7 +214,7 @@ class VovNet(nn.Module):
             )(x, train)
         if features_only:
             return x
-        return _Head(self.num_classes, dtype=self.dtype, name="head")(x)
+        return _Head(self.num_classes, drop_rate=self.drop_rate, dtype=self.dtype, name="head")(x, train)
 
 
 def _vov(num_classes, in_chans, **cfg):

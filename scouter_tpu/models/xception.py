@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from .act import relu
 from .act import residual_add as _residual_add
-from .layers import batch_norm, conv2d, global_avg_pool, max_pool_3x3_s2_p1
+from .layers import batch_norm, conv2d, global_avg_pool, head_dropout, max_pool_3x3_s2_p1
 from .registry import register_model
 
 __all__ = ["Xception"]
@@ -95,7 +95,7 @@ class Xception(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False, rngs=None):
+    def __call__(self, x, train: bool = False, features_only: bool = False):
         d = self.dtype
         x = conv2d(32, 3, stride=2, padding=0, dtype=d, name="conv1")(x)
         x = relu(batch_norm(train, dtype=d, name="bn1")(x))
@@ -116,6 +116,7 @@ class Xception(nn.Module):
         if features_only:
             return x
         x = global_avg_pool(x)
+        x = head_dropout(x, self.drop_rate, train)
         return nn.Dense(self.num_classes, name="fc")(x)
 
 

@@ -328,3 +328,72 @@ class TestPoolGradients:
         grads = jax.grad(loss_fn)(variables["params"])
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+
+
+class TestDilatedOutputStride:
+    """output_stride 8/16 parity: dilated stages keep the 2x2 stride-1 avg
+    pool in avg_down skips (downsample_avg, timm/models/resnet.py:292-306)
+    and the conv-path downsample honors first_dilation — the round-3 review
+    found both dropped when dilation > 1."""
+
+    @pytest.mark.parametrize("name,output_stride", [("resnest26d", 8),
+                                                    ("resnet50", 16)])
+    def test_dilated_features_match_torch(self, name, output_stride):
+        import torch
+
+        torch.manual_seed(9)
+        ref = _make_ref_model(name, num_classes=5, output_stride=output_stride)
+        ref.eval()
+        variables = torch_state_dict_to_variables(ref.state_dict())
+        model = create_model(name, num_classes=5, output_stride=output_stride)
+        x = np.random.RandomState(9).randn(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_feats = ref.forward_features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        feats = model.apply(variables, jnp.asarray(x), features_only=True)
+        assert feats.shape[1] == 64 // output_stride
+        np.testing.assert_allclose(
+            np.asarray(feats), ref_feats.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-3)
+
+
+class TestHeadDropout:
+    """drop_rate was accepted but silently ignored by every shell (round-3
+    review): timm applies F.dropout before the classifier in training."""
+
+    def test_dropout_active_in_training(self):
+        model = create_model("resnet10", num_classes=8, drop_rate=0.5)
+        x = jnp.asarray(np.random.RandomState(0).rand(4, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        eval_out = model.apply(variables, x)
+        # training with two different dropout rngs -> different logits
+        t1 = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})[0]
+        t2 = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})[0]
+        assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 1e-4
+        # eval is deterministic and needs no rng
+        np.testing.assert_array_equal(np.asarray(eval_out),
+                                      np.asarray(model.apply(variables, x)))
+
+    def test_train_step_supplies_dropout_rng(self):
+        """The jitted train step must feed the 'dropout' rng so drop_rate
+        models train without a missing-rng error."""
+        from scouter_tpu.core import ScouterConfig
+        from scouter_tpu.models import build_slot_model
+        from scouter_tpu.train import create_train_state, make_train_step
+
+        cfg = ScouterConfig(model="resnet10", dataset="MNIST", num_classes=5,
+                            channel=512, use_slot=False, img_size=64,
+                            batch_size=4, pre_trained=False, freeze_layers=0)
+        model = build_slot_model(cfg, backbone_kwargs={"drop_rate": 0.3})
+        x = jnp.zeros((4, 64, 64, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        state, tx = create_train_state(variables, 1e-3)
+        step = make_train_step(model, tx, 1.0)
+        batch = {"image": x, "label": jnp.zeros((4,), jnp.int32)}
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_pretrained_true_raises(self):
+        with pytest.raises(ValueError, match="pretrained"):
+            create_model("resnet18", pretrained=True)

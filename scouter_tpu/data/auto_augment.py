@@ -26,8 +26,11 @@ _MAX_LEVEL = 10.0
 _FILL = (128, 128, 128)
 
 
-def _randomly_negate(v):
-    return -v if random.random() > 0.5 else v
+def _randomly_negate(v, rng=random):
+    # rng is threaded from the transform instance so AutoAugment(seed=...)
+    # is actually deterministic (the global module RNG is the default only
+    # for direct _OPS use)
+    return -v if rng.random() > 0.5 else v
 
 
 # ---- op implementations ------------------------------------------------------
@@ -101,8 +104,8 @@ def _enhance_arg(l):
     return (l / _MAX_LEVEL) * 1.8 + 0.1
 
 
-def _enhance_increasing_arg(l):
-    return 1.0 + _randomly_negate((l / _MAX_LEVEL) * 0.9)
+def _enhance_increasing_arg(l, rng=random):
+    return 1.0 + _randomly_negate((l / _MAX_LEVEL) * 0.9, rng)
 
 
 # (op_fn, level->arg) — names and magnitude rules mirror timm LEVEL_TO_ARG
@@ -112,7 +115,7 @@ _OPS = {
     "AutoContrast": (lambda img, _: ImageOps.autocontrast(img), lambda l: None),
     "Equalize": (lambda img, _: ImageOps.equalize(img), lambda l: None),
     "Invert": (lambda img, _: ImageOps.invert(img), lambda l: None),
-    "Rotate": (_rotate, lambda l: _randomly_negate(l / _MAX_LEVEL * 30.0)),
+    "Rotate": (_rotate, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * 30.0, rng)),
     "Posterize": (_posterize, lambda l: int(l / _MAX_LEVEL * 4)),
     "PosterizeIncreasing": (_posterize, lambda l: 4 - int(l / _MAX_LEVEL * 4)),
     "PosterizeOriginal": (_posterize, lambda l: int(l / _MAX_LEVEL * 4) + 4),
@@ -127,18 +130,22 @@ _OPS = {
     "BrightnessIncreasing": (_enhance(ImageEnhance.Brightness), _enhance_increasing_arg),
     "Sharpness": (_enhance(ImageEnhance.Sharpness), _enhance_arg),
     "SharpnessIncreasing": (_enhance(ImageEnhance.Sharpness), _enhance_increasing_arg),
-    "ShearX": (_shear_x, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.3)),
-    "ShearY": (_shear_y, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.3)),
-    "TranslateX": (_translate_x_abs, lambda l: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST)),
-    "TranslateY": (_translate_y_abs, lambda l: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST)),
-    "TranslateXRel": (_translate_x_rel, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
-    "TranslateYRel": (_translate_y_rel, lambda l: _randomly_negate(l / _MAX_LEVEL * 0.45)),
+    "ShearX": (_shear_x, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * 0.3, rng)),
+    "ShearY": (_shear_y, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * 0.3, rng)),
+    "TranslateX": (_translate_x_abs, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST, rng)),
+    "TranslateY": (_translate_y_abs, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * _TRANSLATE_CONST, rng)),
+    "TranslateXRel": (_translate_x_rel, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * 0.45, rng)),
+    "TranslateYRel": (_translate_y_rel, lambda l, rng=random: _randomly_negate(l / _MAX_LEVEL * 0.45, rng)),
 }
 
 
-def _apply(img, name, level):
+def _apply(img, name, level, rng=random):
     fn, to_arg = _OPS[name]
-    return fn(img, to_arg(level))
+    try:
+        arg = to_arg(level, rng)
+    except TypeError:  # unsigned-magnitude ops take no rng
+        arg = to_arg(level)
+    return fn(img, arg)
 
 
 def auto_augment_policy(name: str = "v0") -> List[List[Tuple[str, float, float]]]:
@@ -211,7 +218,7 @@ class AutoAugment:
         sub = self.rng.choice(self.policy)
         for name, prob, magnitude in sub:
             if self.rng.random() <= prob:
-                img = _apply(img, name, magnitude)
+                img = _apply(img, name, magnitude, self.rng)
         return img
 
 
@@ -232,5 +239,5 @@ class RandAugment:
 
     def __call__(self, img: Image.Image) -> Image.Image:
         for _ in range(self.num_layers):
-            img = _apply(img, self.rng.choice(self.ops), self.magnitude)
+            img = _apply(img, self.rng.choice(self.ops), self.magnitude, self.rng)
         return img

@@ -88,6 +88,20 @@ def load_mnist_variant(root: str, variant: str = "MNIST", train: bool = True
             return load_mnist(candidate, train)
         except FileNotFoundError:
             continue
+    # official EMNIST/QMNIST archives prefix the IDX filenames
+    # (emnist-<split>-train-images-idx3-ubyte / qmnist-train-images-idx3-ubyte)
+    prefixes = {"EMNIST": ("emnist-balanced-", "emnist-byclass-", "emnist-digits-",
+                           "emnist-letters-", "emnist-mnist-"),
+                "QMNIST": ("qmnist-",)}.get(variant, ())
+    img_name, lbl_name = _FILES[train]
+    for prefix in prefixes:
+        for candidate in (os.path.join(root, sub), os.path.join(root, sub, "raw"), root):
+            try:
+                images = _read_idx(os.path.join(candidate, prefix + img_name))
+                labels = _read_idx(os.path.join(candidate, prefix + lbl_name))
+                return images[..., None], labels.astype(np.int32)
+            except FileNotFoundError:
+                continue
     raise FileNotFoundError(f"{variant} IDX files not found under {root!r}")
 
 

@@ -71,8 +71,11 @@ class Loader:
         if shard_by_host:
             start, stop = host_shard_bounds(len(dataset))
             self._indices = np.arange(start, stop)
+            self._shard_bounds = (start, stop)
         else:
             self._indices = np.arange(len(dataset))
+            self._shard_bounds = None
+        self._global_n = len(dataset)
         # Multi-process: every process MUST iterate the same number of batches
         # (the jitted step contains collectives; mismatched counts deadlock).
         # Train: truncate to the smallest host shard's full batches. Val: pad
@@ -98,8 +101,18 @@ class Loader:
         idx = self._indices
         if self.train:
             rng = np.random.RandomState((self.seed * 100003 + epoch) % (2**31))
-            idx = idx.copy()
-            rng.shuffle(idx)
+            if self._shard_bounds is not None and jax.process_count() > 1:
+                # DistributedSampler semantics (train.py:152-154): one GLOBAL
+                # per-epoch permutation (identical on every host — the rng is
+                # seed+epoch derived), each host takes its disjoint slice. A
+                # within-shard shuffle of a class-sorted item list would pin
+                # each host to the same class-skewed subset every epoch.
+                perm = rng.permutation(self._global_n)
+                start, stop = self._shard_bounds
+                idx = perm[start:stop]
+            else:
+                idx = idx.copy()
+                rng.shuffle(idx)
             n_full = (len(idx) // self.batch_size) * self.batch_size
             idx = idx[:n_full]
         return idx
@@ -113,15 +126,20 @@ class Loader:
             i = step_i * self.batch_size
             chunk = idx[i: i + self.batch_size]
             valid = len(chunk)
+            # pad source: this shard's first item, or dataset item 0 when the
+            # shard itself is empty (more processes than items)
+            fill = idx[:1] if len(idx) else np.zeros(1, np.int64)
             if valid == 0:
                 # cross-host step-count padding (multi-process val): a fully
-                # masked batch repeating index 0 keeps collectives in lockstep
-                chunk = idx[:1].repeat(self.batch_size)
-            if valid < self.batch_size:
+                # masked batch keeps collectives in lockstep
+                chunk = fill.repeat(self.batch_size)
+            elif valid < self.batch_size:
                 # pad the trailing eval batch to the full (static) batch size so
                 # the jitted step keeps one shape and the batch divides the mesh;
-                # metrics mask the padding out
-                chunk = np.concatenate([chunk, idx[:1].repeat(self.batch_size - valid)])
+                # metrics mask the padding out. (elif: the valid==0 branch above
+                # already built a full-size chunk — falling through here used to
+                # emit a DOUBLE-size batch with a mismatched mask)
+                chunk = np.concatenate([chunk, fill.repeat(self.batch_size - valid)])
             mask = np.zeros(self.batch_size, np.float32)
             mask[:valid] = 1.0
             if hasattr(self.ds, "gather"):
@@ -170,17 +188,45 @@ class Loader:
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+
+        def qput(item) -> bool:
+            # bounded put that gives up when the consumer abandons the epoch
+            # (early break / exception): a plain q.put would block the worker
+            # forever and pin its queued device batches
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
-            for bi, hb in enumerate(self._host_batches(epoch)):
-                bk = jax.random.fold_in(key, bi)
-                q.put(produce(hb, bk))
-            q.put(stop)
+            try:
+                for bi, hb in enumerate(self._host_batches(epoch)):
+                    bk = jax.random.fold_in(key, bi)
+                    if not qput(produce(hb, bk)):
+                        return
+            except BaseException as exc:  # surface errors, never hang q.get
+                qput(exc)
+                return
+            qput(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
+            while not q.empty():  # release any queued device batches
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break

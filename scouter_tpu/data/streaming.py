@@ -27,6 +27,18 @@ from .folders import PathLabel
 
 __all__ = ["FolderDataset"]
 
+_POOL: ThreadPoolExecutor = None
+_POOL_LOCK = threading.Lock()
+
+
+def _shared_pool(workers: int) -> ThreadPoolExecutor:
+    global _POOL
+    with _POOL_LOCK:
+        if _POOL is None:
+            _POOL = ThreadPoolExecutor(max_workers=workers,
+                                       thread_name_prefix="folder-decode")
+        return _POOL
+
 
 class _LazyImageView:
     """Indexable view over a FolderDataset's decoded images.
@@ -66,7 +78,10 @@ class FolderDataset:
         self._item_bytes = staging_size * staging_size * 3
         self._cache: dict = {}
         self._cache_lock = threading.Lock()
-        self._pool = ThreadPoolExecutor(max_workers=workers)
+        # one process-wide decode pool: a per-instance pool leaked its workers
+        # for the process lifetime (no shutdown path), and CLIs construct
+        # several FolderDatasets per run
+        self._pool = _shared_pool(workers)
 
     def __len__(self) -> int:
         return len(self.items)

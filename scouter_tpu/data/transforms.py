@@ -75,19 +75,25 @@ def _affine_sample(img: jnp.ndarray, scale_xy, translate_xy, rotate_deg) -> jnp.
     return jnp.stack([sample_channel(img[..., i]) for i in range(c)], axis=-1)
 
 
-def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, max_radius: int = 5) -> jnp.ndarray:
-    """Separable gaussian blur with traced sigma (radius fixed, weights masked)."""
+def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, max_radius: int = 9) -> jnp.ndarray:
+    """Separable gaussian blur with traced sigma (radius fixed, weights masked).
+
+    radius 9 ≈ 3·sigma_max (sigma is sampled in [0, 3], image_aug.py:24) so
+    the tails are not truncated; borders reflect (cv2 BORDER_REFLECT_101, the
+    imgaug GaussianBlur default) instead of zero-padding, which darkened an
+    r-pixel frame around every blurred image."""
     r = max_radius
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     sigma = jnp.maximum(sigma, 1e-3)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     k = k / jnp.sum(k)
+    img = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
     # (H, W, C): blur H then W via depthwise conv
-    img_t = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    img_t = img.transpose(2, 0, 1)[:, None]  # (C, 1, H+2r, W+2r)
     kh = k.reshape(1, 1, -1, 1)
     kw = k.reshape(1, 1, 1, -1)
-    out = jax.lax.conv_general_dilated(img_t, kh, (1, 1), [(r, r), (0, 0)])
-    out = jax.lax.conv_general_dilated(out, kw, (1, 1), [(0, 0), (r, r)])
+    out = jax.lax.conv_general_dilated(img_t, kh, (1, 1), [(0, 0), (0, 0)])
+    out = jax.lax.conv_general_dilated(out, kw, (1, 1), [(0, 0), (0, 0)])
     return out[:, 0].transpose(1, 2, 0)
 
 
@@ -110,9 +116,15 @@ def _augment_one(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
 
     sx = jax.random.uniform(keys[4], minval=0.8, maxval=1.0)
     sy = jax.random.uniform(keys[5], minval=0.8, maxval=1.0)
+    # the x-translation really is one-sided and y symmetric — the reference
+    # samples translate_x = uniform(0, 0.1), translate_y = uniform(-0.1, 0.1)
+    # (image_aug.py:17-18; its "+-10 percent" comment describes imgaug's
+    # generic capability, not the values it passes)
     tx = jax.random.uniform(keys[6], minval=0.0, maxval=0.1)
     ty = jax.random.uniform(keys[7], minval=-0.1, maxval=0.1)
-    rot = jax.random.uniform(keys[8], minval=-10.0, maxval=10.0)
+    # rotate is INTEGER degrees in [-10, 9]: np.random.randint(-10, 10)
+    # (image_aug.py:14)
+    rot = jax.random.randint(keys[8], (), -10, 10).astype(jnp.float32)
     sigma = jax.random.uniform(keys[9], minval=0.0, maxval=3.0)
 
     order = jax.random.permutation(keys[10], 4)

@@ -276,3 +276,66 @@ def test_folder_dataset_synthetic_fallback():
     # deterministic across calls
     img2 = np.asarray(select_dataset(cfg, train=True).images[0])
     np.testing.assert_array_equal(img, img2)
+
+
+class TestLoaderRobustness:
+    """Round-3 review regressions: padding arithmetic, worker error
+    propagation, epoch abandonment."""
+
+    def _loader(self, n=10, batch_size=4, **kw):
+        from scouter_tpu.data import ArrayDataset, Loader
+
+        images = np.zeros((n, 8, 8, 1), np.uint8)
+        labels = np.arange(n, dtype=np.int32) % 3
+        return Loader(ArrayDataset(images, labels, "MNIST"), batch_size,
+                      img_size=8, **kw)
+
+    def test_val_tail_batch_padded_once(self):
+        """10 items / batch 4 -> 3 val batches, the last padded 4-long with a
+        2-hot mask (the old double-pad emitted an 8-long batch)."""
+        loader = self._loader(train=False)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["image"].shape[0] == 4 and b["mask"].shape[0] == 4
+        assert float(np.asarray(batches[-1]["mask"]).sum()) == 2.0
+
+    def test_worker_error_propagates(self):
+        """A failure inside batch production must raise in the training loop,
+        not hang q.get() forever (the old worker died without the sentinel)."""
+        import pytest
+
+        loader = self._loader(train=False)
+        loader.ds.dataset_name = "NoSuchDataset"  # breaks NORMALIZE_VALUES lookup
+        with pytest.raises(KeyError):
+            list(loader.epoch(0))
+
+    def test_abandoned_epoch_does_not_wedge_next(self):
+        """Breaking out of an epoch early must not leave the worker blocked
+        (subsequent epochs keep working; queued batches are released)."""
+        loader = self._loader(n=40, batch_size=4, train=False)
+        it = loader.epoch(0)
+        next(it)
+        it.close()  # abandon with 9 batches unconsumed
+        assert len(list(loader.epoch(1))) == 10
+
+    def test_multihost_train_shuffle_is_global(self):
+        """DistributedSampler semantics: the per-epoch permutation is GLOBAL
+        (a host's shard changes every epoch and is not its fixed contiguous
+        slice of the class-sorted list)."""
+        from unittest import mock
+
+        from scouter_tpu.data import ArrayDataset, Loader
+
+        images = np.zeros((16, 8, 8, 1), np.uint8)
+        labels = np.arange(16, dtype=np.int32)
+        with mock.patch("jax.process_count", return_value=2), \
+             mock.patch("jax.process_index", return_value=0):
+            loader = Loader(ArrayDataset(images, labels, "MNIST"), 4,
+                            img_size=8, train=True, shard_by_host=True)
+            e0 = loader._epoch_indices(0)
+            e1 = loader._epoch_indices(1)
+        assert len(e0) == 8
+        assert set(e0) != set(range(8)) or set(e1) != set(range(8))
+        assert not np.array_equal(np.sort(e0), np.sort(e1)) or \
+            not np.array_equal(e0, e1)

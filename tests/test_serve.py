@@ -226,3 +226,66 @@ class TestEngine:
         eng.close()
         with pytest.raises(RuntimeError):
             eng.submit(probe_images(cfg, 1)[0])
+
+
+class TestHTTPServer:
+    def test_predict_and_health_round_trip(self):
+        """HTTP layer end-to-end: PNG body -> engine -> logits JSON; maps=1
+        returns one base64 PNG per class; /healthz reports stats."""
+        import base64
+        import io
+        import json
+        import threading
+        import urllib.request
+
+        from PIL import Image
+
+        from scouter_tpu.serve.server import make_server
+
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        with InferenceEngine(cfg, variables, buckets=(1, 4)) as eng:
+            server = make_server(eng, cfg.img_size, 1, ("127.0.0.1", 0))
+            port = server.server_address[1]
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            try:
+                img = probe_images(cfg, 1)[0]
+                buf = io.BytesIO()
+                Image.fromarray(img[..., 0], mode="L").save(buf, "PNG")
+                body = buf.getvalue()
+
+                url = f"http://127.0.0.1:{port}/predict?maps=1"
+                with urllib.request.urlopen(
+                        urllib.request.Request(url, data=body, method="POST"),
+                        timeout=120) as resp:
+                    payload = json.loads(resp.read())
+                assert len(payload["logits"]) == cfg.num_classes
+                assert 0 <= payload["pred"] < cfg.num_classes
+                assert len(payload["slot_maps_png"]) == cfg.num_classes
+                m = Image.open(io.BytesIO(
+                    base64.b64decode(payload["slot_maps_png"][0])))
+                assert m.size == (2, 2)
+                # parity with the direct engine path
+                want = eng.infer_batch(img[None])["logits"][0]
+                np.testing.assert_allclose(payload["logits"], want,
+                                           rtol=1e-4, atol=1e-4)
+
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+                    health = json.loads(resp.read())
+                assert health["status"] == "ok"
+                assert health["stats"]["requests"] >= 1
+
+                # malformed body -> per-request 400, server stays up
+                try:
+                    urllib.request.urlopen(urllib.request.Request(
+                        f"http://127.0.0.1:{port}/predict", data=b"junk",
+                        method="POST"), timeout=30)
+                    raised = False
+                except urllib.error.HTTPError as e:
+                    raised = e.code == 400
+                assert raised
+            finally:
+                server.shutdown()
+                server.server_close()

@@ -79,12 +79,14 @@ def main(argv=None):
         # compile every bucket up front so the timed run measures dispatch
         for b in buckets:
             eng.infer_batch(images[:b])
+        pre = eng.stats()  # warm-up batches must not pollute the report
         t0 = time.perf_counter()
         futs = [eng.submit(img) for img in images]
         for f in futs:
             f.result(timeout=600)
         wall = time.perf_counter() - t0
-        stats = eng.stats()
+        post = eng.stats()
+        stats = {k: post[k] - pre[k] for k in post}
 
     engine_ips = ns.requests / wall
     print(json.dumps({

@@ -74,7 +74,7 @@ def main():
                          round(time.time() - t0, 1)))
             print("DONE", rows[-1], flush=True)
 
-    os.makedirs(os.path.dirname(args.results), exist_ok=True)
+    os.makedirs(os.path.dirname(args.results) or ".", exist_ok=True)
     mode = "a" if args.append and os.path.exists(args.results) else "w"
     with open(args.results, mode) as f:
         if mode == "w":

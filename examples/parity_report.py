@@ -53,7 +53,8 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 # comparison would measure precision, not correctness). The within-jax modes
 # (jax-chaos-control / plateau-sweep --framework jax) accept --platform tpu;
 # honoring it requires NOT pinning the env var before jax import.
-if "--platform" not in sys.argv or "tpu" not in sys.argv:
+if not any(a == "--platform=tpu" or (a == "tpu" and "--platform" in sys.argv)
+           for a in sys.argv):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
@@ -94,6 +95,13 @@ def make_batches(cfg, n_batches, seed, data_dir=None, split="train"):
             f"--data_dir {data_dir!r} yielded an empty {cfg.dataset} {split} "
             f"split — check the directory layout"
         )
+    needed = n_batches * cfg.batch_size
+    if len(ds) < needed:
+        raise SystemExit(
+            f"--data_dir {data_dir!r}: the {cfg.dataset} {split} split has "
+            f"{len(ds)} items but the run needs {needed} "
+            f"(= {n_batches} batches x batch_size {cfg.batch_size}); "
+            f"reduce --steps/--val_batches/--batch_size")
     idx = rng.permutation(len(ds))
     batches = []
     for b in range(n_batches):
@@ -342,15 +350,16 @@ def _torch_recipe(ref, train_arrays, val_arrays, epochs, batch_size, lr,
 
 
 def _jax_recipe(cfg, variables, train_arrays, val_arrays, epochs, batch_size,
-                lr, seed):
-    """Train this framework's model on the identical stream (no lr drop within
-    the short schedule; StepLR step_size=70 never fires). Returns
-    (final_state, per-epoch val accuracies, model)."""
+                lr, seed, lr_drop=70):
+    """Train this framework's model on the identical stream, mirroring the
+    torch side's StepLR(step_size=lr_drop) per-epoch schedule (train.py:179 —
+    it only fires past epoch 70, but long --epochs runs must keep the two
+    recipes identical). Returns (final_state, per-epoch val accs, model)."""
     import jax.numpy as jnp
 
     from scouter_tpu.models import build_slot_model
     from scouter_tpu.train.state import create_train_state
-    from scouter_tpu.train.steps import make_eval_step, make_train_step
+    from scouter_tpu.train.steps import make_eval_step, make_train_step, set_learning_rate
 
     x_tr, y_tr = train_arrays
     x_va, y_va = val_arrays
@@ -360,6 +369,7 @@ def _jax_recipe(cfg, variables, train_arrays, val_arrays, epochs, batch_size,
     eval_step = make_eval_step(model, cfg.lambda_value)
     val_accs = []
     for epoch in range(epochs):
+        state = set_learning_rate(state, lr * (0.1 ** (epoch // lr_drop)))
         for s in range(0, len(idx := _epoch_indices(len(x_tr), batch_size, seed, epoch)),
                        batch_size):
             sel = idx[s:s + batch_size]
@@ -973,6 +983,25 @@ def main(argv=None):
         kwargs = dict(lr=ns.lr, seed=ns.seed, out_path=ns.out_path)
         if ns.epochs is not None:
             kwargs["epochs"] = ns.epochs
+        # forward batch_size only when explicitly given (the recipe functions
+        # default to 8, the parity parser to 4 — inheriting the parser default
+        # would silently change the recipe)
+        if any(a == "--batch_size" or a.startswith("--batch_size=")
+               for a in (argv if argv is not None else sys.argv)):
+            kwargs["batch_size"] = ns.batch_size
+        # the recipe modes run the fixed MNIST-chain configuration (the torch
+        # reference hardcodes 260px/9x9 features); warn about model-shape flags
+        # that only the default parity mode consumes
+        ignored = [k for k, d in (("model", "resnet18"), ("dataset", "ImageNet"),
+                                  ("num_classes", 4), ("channel", 512),
+                                  ("slots_per_class", 2), ("power", 2),
+                                  ("to_k_layer", 1), ("lambda_value", 1.0),
+                                  ("img_size", 288), ("steps", 8),
+                                  ("probes", 4), ("val_batches", 2))
+                   if getattr(ns, k) != d]
+        if ignored:
+            print(f"[parity_report] NOTE: --mode {ns.mode} runs the fixed "
+                  f"MNIST-chain recipe; ignoring flags: {ignored}")
         if ns.mode in ("negative-convergence", "chaos-control",
                        "jax-chaos-control", "plateau-sweep") \
                 and ns.loss_status is not None:

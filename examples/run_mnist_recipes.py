@@ -36,19 +36,27 @@ def main():
     setup_compilation_cache()
 
     from scouter_tpu.core import ScouterConfig
-    from scouter_tpu.data import ArrayDataset, mnist_or_synthetic, synthetic_mnist
+    from scouter_tpu.data import ArrayDataset, synthetic_mnist
     from scouter_tpu.explain.cli import render_explanations
     from scouter_tpu.train import Trainer
 
+    from scouter_tpu.data.mnist import load_mnist
+
     try:
-        tr = mnist_or_synthetic("data/", train=True)
-        te = mnist_or_synthetic("data/", train=False)
-        tr = (tr[0][: args.num_train], tr[1][: args.num_train])
-        te = (te[0][: args.num_train // 4], te[1][: args.num_train // 4])
-        source = "MNIST" if os.path.exists("data/MNIST") else "synthetic"
-    except Exception:
+        # detect the data source by what actually loads (load_mnist accepts
+        # several layouts incl. IDX files directly under data/ — a path-based
+        # data/MNIST check mislabeled those as synthetic)
+        tr = load_mnist("data/", train=True)
+        te = load_mnist("data/", train=False)
+        source = "MNIST"
+    except FileNotFoundError:
+        # the synthetic generator honors num_train directly — slicing its
+        # default 2048 images would silently cap larger --num_train requests
         tr, te = synthetic_mnist(args.num_train, args.num_train // 4)
         source = "synthetic"
+    tr = (tr[0][: args.num_train], tr[1][: args.num_train])
+    te = (te[0][: args.num_train // 4], te[1][: args.num_train // 4])
+    n_train_actual = len(tr[0])
     datasets = (ArrayDataset(*tr, "MNIST"), ArrayDataset(*te, "MNIST"))
 
     base = dict(
@@ -87,7 +95,7 @@ def main():
 
     with open(args.results, "w") as f:
         f.write("# MNIST recipe-chain results\n\n")
-        f.write(f"Data source: {source} ({args.num_train} train images, "
+        f.write(f"Data source: {source} ({n_train_actual} train images, "
                 f"{args.img_size}px, {args.epochs} epochs each)\n\n")
         f.write("| Recipe | train acc | val acc | wall (s) |\n|---|---|---|---|\n")
         for name, ta, va, dt in rows:

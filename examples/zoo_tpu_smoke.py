@@ -83,8 +83,6 @@ def main():
                               "status": "NOT_REGISTERED"}), flush=True)
             fail += 1
             continue
-        # nasnet/pnasnet need their native 331px-ish geometry; use a smaller
-        # multiple that still satisfies their reduction structure
         size = args.img
         try:
             t0 = time.perf_counter()

@@ -59,8 +59,14 @@ def native_available() -> bool:
 
 def resize_batch(images: np.ndarray, size: Tuple[int, int],
                  nthreads: int = 0) -> np.ndarray:
-    """Batched bilinear uint8 resize (half-pixel centers). images: (N,H,W,C)."""
-    images = np.ascontiguousarray(images, dtype=np.uint8)
+    """Batched bilinear uint8 resize (half-pixel centers). images: (N,H,W,C).
+
+    Raises on non-uint8 input: a silent uint8 cast would truncate normalized
+    float images to black (the same guard serve.engine enforces)."""
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        raise TypeError(f"resize_batch expects uint8 pixels, got {images.dtype}")
+    images = np.ascontiguousarray(images)
     n, h, w, c = images.shape
     oh, ow = size
     if (h, w) == (oh, ow):
@@ -92,6 +98,13 @@ def gather_items(items: np.ndarray, indices: np.ndarray,
     """dst[i] = items[indices[i]] — batch assembly gather (Loader hot path)."""
     items = np.ascontiguousarray(items)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
+    # validate BEFORE the native path: the C gather is a raw memcpy and an
+    # out-of-range/negative index would read out of bounds instead of raising
+    # the IndexError the numpy fallback gives
+    if len(indices) and (indices.min() < 0 or indices.max() >= len(items)):
+        raise IndexError(
+            f"gather_items: indices out of range [0, {len(items)}): "
+            f"min={indices.min()}, max={indices.max()}")
     lib = _load()
     if lib is None or items.dtype != np.uint8:
         return items[indices]

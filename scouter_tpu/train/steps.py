@@ -31,9 +31,13 @@ __all__ = ["make_train_step", "make_eval_step", "set_learning_rate"]
 Batch = Dict[str, jnp.ndarray]
 
 
-def _forward(model, variables, images, train: bool):
+def _forward(model, variables, images, train: bool, dropout_rng=None):
     if train:
-        out, mutated = model.apply(variables, images, train=True, mutable=["batch_stats"])
+        # the 'dropout' rng feeds timm-style head dropout (models/layers.py
+        # head_dropout); unused rngs are harmless when drop_rate == 0
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        out, mutated = model.apply(variables, images, train=True,
+                                   mutable=["batch_stats"], rngs=rngs)
         return out, mutated.get("batch_stats")
     return model.apply(variables, images, train=False), None
 
@@ -82,11 +86,16 @@ def make_train_step(
     """
 
     def step_body(state: TrainState, batch: Batch, per_replica: bool):
+        # deterministic per-step dropout stream (only consumed when the model
+        # has drop_rate > 0): folded from the step counter so resume replays
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-            out, new_stats = _forward(model, variables, batch["image"], train=True)
+            out, new_stats = _forward(model, variables, batch["image"], train=True,
+                                      dropout_rng=dropout_rng)
             _, losses = scouter_loss(
                 out["logits"], batch["label"], out.get("area_loss"), lambda_value
             )

@@ -116,6 +116,11 @@ if __name__ == "__main__":
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
+        # a fresh capture into a dirty outdir leaves TWO xspaces and the
+        # trace-viewer parser refuses ("expects only 1 XSpace path")
+        import shutil
+
+        shutil.rmtree(args.outdir, ignore_errors=True)
         os.makedirs(args.outdir, exist_ok=True)
         capture(args.outdir, args.train, args.iters)
     try:

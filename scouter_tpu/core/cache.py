@@ -19,12 +19,26 @@ _done = False
 
 
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
-    """Enable the persistent compilation cache (idempotent, best-effort)."""
+    """Enable the persistent compilation cache (idempotent, best-effort).
+
+    Also honors an explicit ``JAX_PLATFORMS`` environment variable: the
+    environment's TPU plugin overrides the env var at interpreter startup in
+    plain scripts, so ``JAX_PLATFORMS=cpu python train.py`` would silently
+    land on the TPU; re-asserting it through jax.config before backends
+    initialize makes the env var mean what the user said (same workaround as
+    tests/conftest.py and examples/parity_report.py).
+    """
     global _done
     if _done:
         return
     import jax
 
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

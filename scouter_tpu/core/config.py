@@ -95,6 +95,9 @@ class ScouterConfig:
     # in a full-bf16 head (docs/RESULTS_round3_bf16_negative.md) while the head
     # is <1% of model FLOPs
     slot_head_dtype: str = "float32"  # 'float32' | 'compute'
+    # ZeRO-1: store AdamW mu/nu sharded over the 'data' mesh axis
+    # (parallel/tp.py); requires sync_bn=True
+    zero1: bool = False
     seed: int = 0
 
     def replace(self, **kw) -> "ScouterConfig":
@@ -158,6 +161,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--slot_head_dtype", default="float32", choices=["float32", "compute"],
                    help="keep the slot head fp32 under bf16 training (default) "
                         "or follow compute_dtype")
+    p.add_argument("--zero1", default=False, type=str2bool,
+                   help="shard optimizer state over the data mesh axis (ZeRO-1)")
     p.add_argument("--seed", default=0, type=int)
     return p
 

@@ -22,12 +22,22 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .tp import (
+    param_partition_spec,
+    shard_train_state,
+    tp_enabled,
+    train_state_shardings,
+)
 
 __all__ = [
     "batch_sharding",
     "host_shard_bounds",
     "is_main_process",
     "make_mesh",
+    "param_partition_spec",
     "replicated_sharding",
     "shard_batch",
+    "shard_train_state",
+    "tp_enabled",
+    "train_state_shardings",
 ]

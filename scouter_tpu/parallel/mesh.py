@@ -35,7 +35,12 @@ def make_mesh(
     if int(np.prod(shape)) != len(devices):
         raise ValueError(f"mesh shape {tuple(shape)} != {len(devices)} devices")
     dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, tuple(axis_names)[: dev_array.ndim])
+    names = tuple(axis_names)[: dev_array.ndim]
+    if len(names) < dev_array.ndim:
+        # '--mesh_shape 4,2' with the default 1-axis name list: the trailing
+        # axis is the tensor-parallel 'model' axis (parallel/tp.py rules)
+        names = names + ("model",) * (dev_array.ndim - len(names))
+    return Mesh(dev_array, names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

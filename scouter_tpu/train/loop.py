@@ -97,11 +97,28 @@ class Trainer:
         self.state, self.tx = create_train_state(
             variables, cfg.lr, freeze_layers=cfg.freeze_layers, pre_trained=cfg.pre_trained
         )
+        self._place_state()
         self.train_step = make_train_step(self.model, self.tx, float(cfg.lambda_value),
-                                           mesh=self.mesh, sync_bn=cfg.sync_bn)
+                                           mesh=self.mesh, sync_bn=cfg.sync_bn,
+                                           state_shardings=self.state_shardings)
         self.eval_step = make_eval_step(self.model, float(cfg.lambda_value))
         self.log = MetricLog()
         self.start_epoch = cfg.start_epoch
+
+    def _place_state(self) -> None:
+        """Tensor-parallel / ZeRO-1 placement (parallel/tp.py): when the mesh
+        carries a 'model' axis (or ``zero1`` is on), the TrainState is sharded
+        per the GSPMD rules and the step output is pinned to the same layout."""
+        from ..parallel.tp import shard_train_state, tp_enabled
+
+        self.state_shardings = None
+        if tp_enabled(self.mesh) or getattr(self.cfg, "zero1", False):
+            if not self.cfg.sync_bn:
+                raise ValueError(
+                    "tensor parallelism / zero1 requires sync_bn=True (the "
+                    "per-replica-BN shard_map path is data-axis-only)")
+            self.state, self.state_shardings = shard_train_state(
+                self.state, self.mesh, zero1=getattr(self.cfg, "zero1", False))
 
     def load_variables(self, variables: Dict[str, Any]) -> None:
         """Replace params/batch_stats (e.g. from a converted torch checkpoint or
@@ -110,8 +127,10 @@ class Trainer:
             variables, self.cfg.lr,
             freeze_layers=self.cfg.freeze_layers, pre_trained=self.cfg.pre_trained,
         )
+        self._place_state()
         self.train_step = make_train_step(self.model, self.tx, float(self.cfg.lambda_value),
-                                           mesh=self.mesh, sync_bn=self.cfg.sync_bn)
+                                           mesh=self.mesh, sync_bn=self.cfg.sync_bn,
+                                           state_shardings=self.state_shardings)
 
     def maybe_use_pre(self) -> None:
         """use_pre backbone handoff (``sloter/slot_model.py:26-33``): boot the

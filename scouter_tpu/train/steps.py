@@ -66,11 +66,17 @@ def make_train_step(
     clip_grad: Optional[float] = None,
     mesh=None,
     sync_bn: bool = True,
+    state_shardings=None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. ``model`` is the SlotModel module.
 
     ``clip_grad`` reproduces the reference's (commented-out) clip_gradient
     helper (engine.py:55-65): elementwise clamp of gradients to [-c, c].
+
+    ``state_shardings`` (tensor-parallel / ZeRO-1 path, parallel/tp.py): a
+    NamedSharding pytree matching TrainState; when given, the step's output
+    state is pinned to it so TP/optimizer-shard placements are stable across
+    steps (matching the donated input — no second-call recompile).
 
     BN semantics under the data mesh (SURVEY §7 hard part 5):
 
@@ -153,7 +159,18 @@ def make_train_step(
         def train_step(state: TrainState, batch: Batch):
             return sharded(state, batch)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if state_shardings is not None:
+        if not sync_bn:
+            raise ValueError(
+                "state_shardings (TP/ZeRO-1) requires sync_bn=True — the "
+                "per-replica shard_map path is data-axis-only")
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh_for_out = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        jit_kwargs["out_shardings"] = (
+            state_shardings, NamedSharding(mesh_for_out, PartitionSpec()))
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   **jit_kwargs)
 
 
 def make_eval_step(

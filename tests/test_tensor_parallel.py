@@ -78,6 +78,24 @@ class TestTensorParallel:
         k2 = tr.state.params["backbone"]["layer4_0"]["conv1"]["kernel"]
         assert k2.sharding.spec[3] == "model"
 
+    def test_tp_checkpoint_roundtrip(self, tmp_path):
+        """save_checkpoint gathers sharded leaves to host; restore feeds the
+        TP step again (resume-under-TP contract, mirroring the DP dryrun)."""
+        from scouter_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+        mesh = make_mesh((2, 4), ("data", "model"))
+        cfg = _cfg()
+        tr = Trainer(cfg, mesh=mesh, datasets=_datasets())
+        tr.run_epoch(0, "train")
+        paths = save_checkpoint(str(tmp_path), cfg, tr.state, epoch=0)
+        restored, _, _ = restore_checkpoint(paths[0], tr.state)
+        a = jax.tree_util.tree_leaves(tr.state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+        tr.state = restored
+        m = tr.run_epoch(0, "train")
+        assert np.isfinite(m["loss"])
+
     def test_tp_requires_sync_bn(self):
         mesh = make_mesh((2, 4), ("data", "model"))
         with pytest.raises(ValueError, match="sync_bn"):

@@ -33,7 +33,22 @@ def checkpoint_path(output_dir: str, cfg: ScouterConfig, epoch: Optional[int] = 
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device->host copy of every leaf, multi-host safe.
+
+    Under TP/ZeRO-1 in a real multi-host run, process 0 does not hold all
+    shards of a sharded leaf (``np.asarray`` raises on non-fully-addressable
+    arrays), so those leaves are allgathered across processes first. This is a
+    COLLECTIVE when any leaf is non-fully-addressable: every process must call
+    it (save_checkpoint does, gating the write afterwards)."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
 
 
 def save_on_master(blob: bytes, path: str) -> None:
@@ -60,13 +75,14 @@ def save_checkpoint(
     epoch: int,
 ) -> Tuple[str, ...]:
     """Save latest (+ archival per the reference cadence). Returns paths written."""
-    # rank gate BEFORE serialization: non-zero processes would otherwise pay a
-    # full device->host transfer + serialize per epoch only to discard the blob
+    # _to_host is a collective when leaves are non-fully-addressable (multi-host
+    # TP/ZeRO-1): ALL processes must run it; only rank 0 serializes + writes.
+    host_state = _to_host(state)
     if jax.process_index() != 0:
         return tuple()
     blob = msgpack.packb(
         {
-            "state": fser.to_bytes(_to_host(state)),
+            "state": fser.to_bytes(host_state),
             "epoch": epoch,
             "config": _config_dict(cfg),
         },
@@ -80,11 +96,23 @@ def save_checkpoint(
     return tuple(paths)
 
 
-def restore_checkpoint(path: str, state_template: Any) -> Tuple[Any, int, Dict]:
-    """Restore onto a template TrainState (shapes/types must match)."""
+def restore_checkpoint(
+    path: str, state_template: Any, shardings: Any = None
+) -> Tuple[Any, int, Dict]:
+    """Restore onto a template TrainState (shapes/types must match).
+
+    ``shardings``: a NamedSharding pytree matching the state (the TP/ZeRO-1
+    layout from :func:`scouter_tpu.parallel.shard_train_state`). flax
+    ``from_bytes`` yields host numpy leaves with no placement; re-entering a
+    donated GSPMD step whose out_shardings pin the TP layout would then trip
+    XLA's donation-aliasing check (replicated input aliased to sharded output).
+    Passing the layout re-places the restored state before it is returned —
+    the resume-under-mesh contract of ``train.py:163-169``."""
     with open(path, "rb") as f:
         payload = msgpack.unpackb(f.read(), raw=False)
     restored = fser.from_bytes(state_template, payload["state"])
+    if shardings is not None:
+        restored = jax.device_put(restored, shardings)
     return restored, int(payload["epoch"]), payload["config"]
 
 

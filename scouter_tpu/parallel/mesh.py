@@ -38,8 +38,15 @@ def make_mesh(
     names = tuple(axis_names)[: dev_array.ndim]
     if len(names) < dev_array.ndim:
         # '--mesh_shape 4,2' with the default 1-axis name list: the trailing
-        # axis is the tensor-parallel 'model' axis (parallel/tp.py rules)
-        names = names + ("model",) * (dev_array.ndim - len(names))
+        # axis is the tensor-parallel 'model' axis (parallel/tp.py rules).
+        # Only ONE axis may be padded — padding two would duplicate the name
+        # and Mesh would silently collapse axes (cryptic XLA failure later).
+        if dev_array.ndim - len(names) > 1 or "model" in names:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} needs {dev_array.ndim} axis names "
+                f"but only {names!r} given; the documented contract is "
+                "'data[,model]' — pass explicit axis_names for 3-D+ meshes")
+        names = names + ("model",)
     return Mesh(dev_array, names)
 
 

@@ -55,20 +55,40 @@ def _divisible(dim: int, n: int) -> bool:
     return n > 1 and dim % n == 0
 
 
-def param_partition_spec(shape, tp: int) -> P:
-    """TP spec for one parameter/statistic leaf, by shape.
+def _in_backbone(path) -> bool:
+    """True when a tree path passes through a 'backbone' mapping key."""
+    for k in path:
+        key = getattr(k, "key", None)
+        if key is None:
+            key = getattr(k, "name", None)
+        if key == "backbone":
+            return True
+    return False
+
+
+def param_partition_spec(shape, tp: int, path=None) -> P:
+    """TP spec for one parameter/statistic leaf, by shape (+ tree path).
 
     - 4-D (conv HWIO): shard output channels — ``P(None, None, None, 'model')``
     - 3-D (the slot bank ``(1, S, d)``): shard the slot axis S
-    - 1-D (BN scale/bias, conv bias, channel stats): shard the channel axis so
-      affines stay local to the channel-parallel activations
-    - everything else (small slot-head matrices, scalars): replicated
+    - 1-D **backbone** leaves (BN scale/bias, conv bias, channel stats): shard
+      the channel axis so affines stay local to the channel-parallel
+      activations their producing conv emits
+    - everything else (slot-head matrices AND their 1-D biases, scalars):
+      replicated. The slot head's 2-D weights (GRU kernels, the to_k/to_q
+      stacks, d=64) replicate, so sharding their 1-D biases (e.g. the 192-wide
+      GRU bias) over 'model' would force an all-gather of the bias against
+      replicated activations every step — pure collective overhead with zero
+      memory win. ``path=None`` (shape-only call) treats the leaf as backbone
+      for backward compatibility.
     """
     if len(shape) == 4 and _divisible(shape[3], tp):
         return P(None, None, None, "model")
     if len(shape) == 3 and _divisible(shape[1], tp):
         return P(None, "model", None)
-    if len(shape) == 1 and _divisible(shape[0], tp):
+    if len(shape) == 1 and _divisible(shape[0], tp) and (
+        path is None or _in_backbone(path)
+    ):
         return P("model")
     return P()
 
@@ -98,24 +118,27 @@ def train_state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
     def ndsh(spec: P) -> NamedSharding:
         return NamedSharding(mesh, spec)
 
-    def param_leaf(x) -> NamedSharding:
-        return ndsh(param_partition_spec(np.shape(x), tp))
+    def param_leaf(path, x) -> NamedSharding:
+        return ndsh(param_partition_spec(np.shape(x), tp, path))
 
-    def opt_leaf(x) -> NamedSharding:
+    def opt_leaf(path, x) -> NamedSharding:
         shape = np.shape(x)
-        base = param_partition_spec(shape, tp)
+        base = param_partition_spec(shape, tp, path)
         if zero1 and len(shape) >= 1:
             base = _zero1_spec(shape, base, dp)
         return ndsh(base)
 
+    # tree_map_with_path: optimizer-state leaves nest the params dict inside
+    # optax state tuples, so their paths still pass through 'backbone'/'slot'
+    # mapping keys — the same path rule applies to both trees
     return state.replace(
-        params=jax.tree_util.tree_map(param_leaf, state.params),
+        params=jax.tree_util.tree_map_with_path(param_leaf, state.params),
         batch_stats=(
             None
             if state.batch_stats is None
-            else jax.tree_util.tree_map(param_leaf, state.batch_stats)
+            else jax.tree_util.tree_map_with_path(param_leaf, state.batch_stats)
         ),
-        opt_state=jax.tree_util.tree_map(opt_leaf, state.opt_state),
+        opt_state=jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state),
         step=ndsh(P()),
     )
 

@@ -226,7 +226,10 @@ class Trainer:
     def maybe_resume(self) -> None:
         path = checkpoint_path(self.cfg.output_dir, self.cfg)
         if self.cfg.resume:
-            self.state, epoch, _ = restore_checkpoint(path, self.state)
+            # TP/ZeRO-1: re-place onto the pinned layout before the restored
+            # state re-enters the donated GSPMD step (core/checkpoint.py docs)
+            self.state, epoch, _ = restore_checkpoint(
+                path, self.state, shardings=self.state_shardings)
             self.start_epoch = epoch + 1
             print(f"resumed from {path} at epoch {epoch}")
 

@@ -10,12 +10,37 @@ one cache directory.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 __all__ = ["setup_compilation_cache"]
 
 _DEFAULT_DIR = os.path.expanduser("~/.jax_cache")
 _done = False
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host's ISA surface.
+
+    XLA:CPU persists AOT-compiled machine code whose cache key does NOT
+    include the compile machine's CPU features; loading an artifact compiled
+    on a wider-ISA host (e.g. avx512 + prefer-no-gather) on a narrower one
+    only logs `cpu_aot_loader` errors and then executes anyway — observed on
+    this fleet as silently-NaN training losses (round 4). Keying the cache
+    directory by an ISA fingerprint makes a foreign host miss instead of
+    miscompute; cost is one cold compile per new machine type.
+    """
+    bits = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    bits.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
@@ -40,9 +65,10 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
         except Exception:
             pass
     try:
+        base = cache_dir or os.environ.get("SCOUTER_JAX_CACHE", _DEFAULT_DIR)
         jax.config.update(
             "jax_compilation_cache_dir",
-            cache_dir or os.environ.get("SCOUTER_JAX_CACHE", _DEFAULT_DIR),
+            os.path.join(base, _host_fingerprint()),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _done = True

@@ -29,7 +29,8 @@ def select_dataset(cfg, train: bool = True):
     """choose_dataset.select_dataset parity (``dataset/choose_dataset.py:7-29``)
     returning an ArrayDataset ready for the Loader."""
     if cfg.dataset == "MNIST":
-        images, labels = mnist_or_synthetic(cfg.dataset_dir, train=train)
+        images, labels = mnist_or_synthetic(
+            cfg.dataset_dir, train=train, num_classes=cfg.num_classes)
         return ArrayDataset(images, labels, "MNIST")
     # stage at exactly img_size: the host PIL bilinear resize is then the ONLY
     # resize, matching the reference's single Resize (transform_func.py:59-66)

@@ -106,17 +106,24 @@ def load_mnist_variant(root: str, variant: str = "MNIST", train: bool = True
 
 
 def synthetic_mnist(
-    num_train: int = 2048, num_test: int = 512, seed: int = 0
+    num_train: int = 2048, num_test: int = 512, seed: int = 0,
+    num_classes: int = 10,
 ) -> Tuple[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]:
     """Deterministic learnable stand-in: each class is a noisy 2D gaussian blob
-    at a class-specific location on a 28x28 canvas."""
+    at a class-specific location on a 28x28 canvas.
+
+    ``num_classes`` caps the label range (at most 10 blob locations exist):
+    a config with ``--num_classes 4`` must never see label 7 — the loss's
+    ``take_along_axis`` gather fills out-of-range indices with NaN, which
+    round 4 observed as a silently-NaN CE loss on the synthetic fallback."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:28, 0:28].astype(np.float32)
 
     centers = [(7 + 5 * (k % 4), 7 + 5 * (k // 4)) for k in range(10)]
+    n_cls = max(1, min(int(num_classes), len(centers)))
 
     def make(n):
-        labels = rng.randint(0, 10, size=n).astype(np.int32)
+        labels = rng.randint(0, n_cls, size=n).astype(np.int32)
         cx = np.array([centers[k][0] for k in labels], np.float32)
         cy = np.array([centers[k][1] for k in labels], np.float32)
         jitter = rng.randn(2, n).astype(np.float32) * 1.0
@@ -131,10 +138,14 @@ def synthetic_mnist(
     return make(num_train), make(num_test)
 
 
-def mnist_or_synthetic(root: str, train: bool = True):
-    """Real MNIST if present on disk, else the synthetic stand-in."""
+def mnist_or_synthetic(root: str, train: bool = True, num_classes: int = 10):
+    """Real MNIST if present on disk, else the synthetic stand-in.
+
+    ``num_classes`` only constrains the synthetic fallback's label range (real
+    MNIST always carries 0-9, matching the reference recipe's fixed
+    ``--num_classes 10``)."""
     try:
         return load_mnist(root, train)
     except FileNotFoundError:
-        tr, te = synthetic_mnist()
+        tr, te = synthetic_mnist(num_classes=num_classes)
         return tr if train else te

@@ -186,6 +186,19 @@ class Loader:
             )
             return {"image": images, "label": labels, "mask": mask}
 
+        if jax.default_backend() == "cpu" and jax.device_count() > 1:
+            # XLA:CPU executes an N-device program on a thread pool sized to
+            # the device count; a SECOND host thread dispatching any device
+            # program while the train step's collective rendezvous holds N-1
+            # pool threads starves the pool and hard-deadlocks (all workers
+            # futex-blocked — reproduced round 4 on the 8-virtual-device mesh
+            # at img_size>=64). The lookahead thread buys nothing on a CPU
+            # mesh anyway (no H2D to overlap), so produce synchronously there
+            # and keep the threaded overlap for real accelerators.
+            for bi, hb in enumerate(self._host_batches(epoch)):
+                yield produce(hb, jax.random.fold_in(key, bi))
+            return
+
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
         cancel = threading.Event()

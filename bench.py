@@ -4,10 +4,21 @@ headline metric (images/sec/chip).
 Runs on the default JAX device (the real TPU chip under the driver). bfloat16
 compute path, fp32 params. Prints ONE JSON line.
 
-vs_baseline: ratio against an estimated A100 torch reference throughput for the
-same model/config. The reference repo publishes no numbers (BASELINE.md), so the
-constant below is an estimate of PyTorch 1.6 resnest26d+slot inference on A100
-(fp16, bs=70): ~2500 img/s. The north-star target is 3x that.
+PRIMARY claim (measured, this chip): absolute throughput in img/s plus the
+achieved TFLOP/s and model-FLOPs utilization it implies — the JSON carries
+``achieved_tflops`` (XLA cost-analysis FLOPs x throughput) and ``mfu`` against
+the v5e bf16 dense peak (~197 TFLOP/s). PARITY.md's r3 roofline shows this sits
+within ~10% of the model-specific achievable bound (the radix grouped convs run
+~53% peak inside their window; the low-channel stem ~20%).
+
+SECONDARY (estimate, labeled as such in ``vs_baseline_basis``): ratio against
+an estimated A100 torch reference throughput for the same model/config. The
+reference repo publishes no numbers (BASELINE.md), and no ResNeSt-26 GPU
+inference measurement exists in the retrieved public sources (PAPERS.md was
+mined round 4 — the ResNeSt paper reports latency only for the 50/101 -d
+variants under a different serving stack), so the constant below remains an
+estimate of PyTorch 1.6 resnest26d+slot inference on A100 (fp16, bs=70):
+~2500 img/s. The north-star target is 3x that.
 
 Anchoring the estimate (round 2):
 - Model cost: 7.36 GFLOP/img (XLA cost analysis, 224px).
@@ -17,8 +28,10 @@ Anchoring the estimate (round 2):
   number is a hardware-utilization question only.
 - A100 fp16 dense peak is 312 TFLOP/s; eager torch CNN inference typically
   achieves 5-10% MFU on it => 2.1k-4.2k img/s. 2500 (5.9% MFU) sits inside
-  that bracket; the honest vs_baseline range for the current 10.4k img/s
-  headline is therefore 2.5x-5.0x with 4.2x as the point estimate.
+  that bracket; the honest vs_baseline range for a ~10.4k img/s headline is
+  therefore 2.5x-5.0x with ~4.2x as the point estimate. The bracket cannot be
+  narrowed without A100 access or a published same-model number — which is
+  why the measured absolute above is the primary claim.
 """
 
 import json
@@ -27,7 +40,8 @@ import time
 
 import numpy as np
 
-A100_TORCH_BASELINE_IMG_S = 2500.0
+A100_TORCH_BASELINE_IMG_S = 2500.0  # ESTIMATE — see module docstring
+TPU_V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def slot_kernel_check():
@@ -152,6 +166,15 @@ def main():
         out = model.apply(variables, images.astype(jnp.bfloat16))
         return out["logits"]
 
+    # model FLOPs from the compiled program's own cost analysis (the same
+    # accounting PARITY.md's roofline uses) — basis for the absolute claim
+    try:
+        ca = forward.lower(variables, x).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_batch = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_batch = 0.0
+
     # compile + warmup. Timing uses an actual host fetch of the final output:
     # on remote-attached runtimes block_until_ready can return before device
     # completion, but a data fetch cannot (in-order execution bounds the batch).
@@ -167,13 +190,20 @@ def main():
 
     img_s = cfg.batch_size * iters / dt
     suffix = ", s2d stem" if bk else ""
+    achieved_tflops = flops_per_batch * iters / dt / 1e12
     print(json.dumps({
         "metric": f"images/sec/chip (resnest26d+xSlot, 224px, bs=70, inference{suffix})",
         "value": round(img_s, 1),
         "unit": "img/s",
+        # PRIMARY evidence (measured on this chip): absolute throughput and
+        # the MFU it implies against the v5e bf16 dense peak
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu_vs_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 3),
+        # SECONDARY (estimate): the A100 torch baseline is an ESTIMATE (see
+        # module docstring); honest range given the 5-10% A100-MFU bracket:
         "vs_baseline": round(img_s / A100_TORCH_BASELINE_IMG_S, 3),
-        # the A100 torch baseline is an ESTIMATE (see module docstring);
-        # honest range for the ratio given the 5-10% A100-MFU bracket:
+        "vs_baseline_basis": "ESTIMATED A100 torch 2500 img/s (no published "
+                             "same-model number; bracket = 5-10% A100 MFU)",
         "vs_baseline_bracket": [round(img_s / 4200.0, 2), round(img_s / 2100.0, 2)],
     }))
 

@@ -114,21 +114,16 @@ def make_batches(cfg, n_batches, seed, data_dir=None, split="train"):
     return batches, False
 
 
-def _heatmap_reports(ref, model, variables, probe_imgs, cfg):
-    """Per-probe heatmap-IoU tables comparing both test.py flows.
-
-    torch side: the reference's own vis path (slot_attention.py:68-85 PNG
-    side effects, test.py:33-38 bilinear resize); ours: attention returned
-    from forward, rendered host-side.
-    """
+def _torch_probe_maps(ref, probe_imgs, cfg):
+    """Per-probe per-class heatmaps via the reference's OWN vis flow
+    (slot_attention.py:68-85 PNG side effects, test.py:33-38 bilinear
+    resize). Returns ``[probe][class]`` uint8-scale fp arrays at img_size."""
     import torch
-    import jax.numpy as jnp
 
-    from scouter_tpu.explain.parity import iou_table, resize_map_bilinear
-    from scouter_tpu.explain.vis import attention_to_maps
+    from scouter_tpu.explain.parity import resize_map_bilinear
 
-    reports = []
     out_size = (cfg.img_size, cfg.img_size)
+    all_maps = []
     for p in range(len(probe_imgs)):
         x1 = probe_imgs[p:p + 1]
         ref.slot.vis, ref.slot.vis_id = True, 0
@@ -137,20 +132,56 @@ def _heatmap_reports(ref, model, variables, probe_imgs, cfg):
             with torch.no_grad(), contextlib.redirect_stdout(open(os.devnull, "w")):
                 ref(torch.from_numpy(x1.transpose(0, 3, 1, 2)))
             from PIL import Image
-            ref_maps = [
+            all_maps.append([
                 resize_map_bilinear(
                     np.array(Image.open(f"sloter/vis/slot_{c}.png"), np.uint8),
                     out_size,
                 )
                 for c in range(cfg.num_classes)
-            ]
+            ])
         ref.slot.vis = False
-        out = model.apply(variables, jnp.asarray(x1))
+    return all_maps
+
+
+def _jax_probe_maps(model, variables, probe_imgs, cfg):
+    """Per-probe per-class heatmaps from this framework's forward attention,
+    rendered host-side (the test.py-equivalent flow)."""
+    import jax.numpy as jnp
+
+    from scouter_tpu.explain.parity import resize_map_bilinear
+    from scouter_tpu.explain.vis import attention_to_maps
+
+    out_size = (cfg.img_size, cfg.img_size)
+    all_maps = []
+    for p in range(len(probe_imgs)):
+        out = model.apply(variables, jnp.asarray(probe_imgs[p:p + 1]))
         maps = attention_to_maps(np.asarray(out["attn"])[0],
                                  cfg.num_classes, cfg.slots_per_class)
-        our_maps = [resize_map_bilinear(m, out_size) for m in maps]
-        reports.append(iou_table(ref_maps, our_maps))
-    return reports
+        all_maps.append([resize_map_bilinear(m, out_size) for m in maps])
+    return all_maps
+
+
+def _pair_iou(maps_a, maps_b, num_classes):
+    """Aggregate IoU between two ``[probe][class]`` map stacks through the
+    SAME pipeline as the cross-framework comparison."""
+    from scouter_tpu.explain.parity import iou_table
+
+    return _aggregate_iou(
+        [iou_table(a, b) for a, b in zip(maps_a, maps_b)], num_classes)
+
+
+def _heatmap_reports(ref, model, variables, probe_imgs, cfg):
+    """Per-probe heatmap-IoU tables comparing both test.py flows.
+
+    torch side: the reference's own vis path (slot_attention.py:68-85 PNG
+    side effects, test.py:33-38 bilinear resize); ours: attention returned
+    from forward, rendered host-side.
+    """
+    from scouter_tpu.explain.parity import iou_table
+
+    ref_maps = _torch_probe_maps(ref, probe_imgs, cfg)
+    our_maps = _jax_probe_maps(model, variables, probe_imgs, cfg)
+    return [iou_table(a, b) for a, b in zip(ref_maps, our_maps)]
 
 
 def _aggregate_iou(reports, num_classes):
@@ -316,10 +347,11 @@ def _make_mnist_arrays(img_size, n_train, n_val, seed):
 
 
 def _torch_recipe(ref, train_arrays, val_arrays, epochs, batch_size, lr,
-                  lr_drop, seed):
+                  lr_drop, seed, on_epoch=None):
     """Train a reference model with the reference's loop semantics
     (engine.py:17-52 inner loop, train.py:146-148 AdamW, :179 StepLR).
-    Returns per-epoch val accuracies."""
+    Returns per-epoch val accuracies. ``on_epoch(epoch)`` fires after each
+    epoch's eval (the model is mutated in place — snapshot hooks read it)."""
     import torch
 
     x_tr, y_tr = train_arrays
@@ -346,15 +378,18 @@ def _torch_recipe(ref, train_arrays, val_arrays, epochs, batch_size, lr,
                 out = ref(torch.from_numpy(x_va[s:s + batch_size].transpose(0, 3, 1, 2)))
                 correct += int((out.argmax(1).numpy() == y_va[s:s + batch_size]).sum())
         val_accs.append(correct / len(x_va))
+        if on_epoch is not None:
+            on_epoch(epoch)
     return val_accs
 
 
 def _jax_recipe(cfg, variables, train_arrays, val_arrays, epochs, batch_size,
-                lr, seed, lr_drop=70):
+                lr, seed, lr_drop=70, on_epoch=None):
     """Train this framework's model on the identical stream, mirroring the
     torch side's StepLR(step_size=lr_drop) per-epoch schedule (train.py:179 —
     it only fires past epoch 70, but long --epochs runs must keep the two
-    recipes identical). Returns (final_state, per-epoch val accs, model)."""
+    recipes identical). Returns (final_state, per-epoch val accs, model).
+    ``on_epoch(epoch, state)`` fires after each epoch's eval."""
     import jax.numpy as jnp
 
     from scouter_tpu.models import build_slot_model
@@ -383,6 +418,8 @@ def _jax_recipe(cfg, variables, train_arrays, val_arrays, epochs, batch_size,
             correct += float(m["acc"]) * len(yb)
             total += len(yb)
         val_accs.append(correct / total)
+        if on_epoch is not None:
+            on_epoch(epoch, state)
     return state, val_accs, model
 
 
@@ -720,6 +757,146 @@ def run_negative_convergence(epochs=20, n_train=512, n_val=128, batch_size=8,
     return result
 
 
+def run_iou_floor(epochs=20, n_train=512, n_val=128, batch_size=8,
+                  img_size=260, lr=1e-4, seed=0, eps=1e-6, probes=8,
+                  out_path=None, loss_status=-1):
+    """Heatmap-IoU noise floor for the north-star parity claim.
+
+    The trained-model cross-framework IoU numbers (docs/FULL_RECIPE_PARITY_r3,
+    NEGATIVE_CONVERGENCE_r3) float with no baseline: nobody can say whether
+    soft-IoU 0.68 at 20 epochs is "parity within trained-model chaos" or a
+    real heatmap divergence. This run measures the floor. FOUR models train
+    on the IDENTICAL stream (same data, same batch order, negative SCOUTER
+    recipe, README.md:99-105):
+
+      torch A   (init seed s)
+      torch B = A + eps on one conv1 weight  -> IoU(A,B): the Lyapunov floor
+      torch C   (independent init seed)      -> IoU(A,C): the seed floor
+      jax   J   (identical init to A)        -> IoU(A,J): cross-framework
+
+    and every pair goes through the SAME IoU pipeline (the reference's own
+    PNG vis flow for torch maps, test.py:33-38 resize; iou_table) at epoch 4
+    and at the final epoch. The parity claim is quantitative: IoU(A,J) is
+    "within the floor" iff it falls at or above the torch-vs-torch(eps)
+    band. Match: test.py:33-38, sloter/utils/slot_attention.py:68-85.
+    """
+    import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.models import build_slot_model, torch_state_dict_to_variables
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_mnist_arrays(img_size, n_train, n_val, seed)
+    probe_imgs = val_arrays[0][:probes]
+    cfg = _sweep_cfg(loss_status, img_size, batch_size)
+    snapshot_epochs = sorted({min(4, epochs), epochs})  # 1-based horizons
+    stage_seed = seed + 2  # the seed the r3 convergence runs used
+
+    torch.manual_seed(stage_seed)
+    ref_a = _make_ref_slot_model(cfg)
+    sd_a = {k: v.clone() for k, v in ref_a.state_dict().items()}
+    torch.manual_seed(stage_seed)
+    ref_b = _make_ref_slot_model(cfg)
+    with torch.no_grad():
+        w = dict(ref_b.named_parameters())["backbone.conv1.weight"]
+        w.view(-1)[0] += eps
+    torch.manual_seed(stage_seed + 7919)  # independent init draw
+    ref_c = _make_ref_slot_model(cfg)
+    variables_j = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in sd_a.items()})
+
+    maps = {}   # (name, horizon) -> [probe][class] heatmaps
+    accs = {}
+
+    def torch_hook(name, ref):
+        def on_epoch(epoch):
+            if (epoch + 1) in snapshot_epochs:
+                maps[(name, epoch + 1)] = _torch_probe_maps(ref, probe_imgs, cfg)
+                print(f"[iou-floor] {name} snapshot @ epoch {epoch + 1}",
+                      flush=True)
+        return on_epoch
+
+    for name, ref in (("A", ref_a), ("B", ref_b), ("C", ref_c)):
+        accs[name] = _torch_recipe(ref, train_arrays, val_arrays, epochs,
+                                   batch_size, lr, 70, stage_seed,
+                                   on_epoch=torch_hook(name, ref))
+        print(f"[iou-floor] torch {name} done: final val acc "
+              f"{accs[name][-1]:.4f}", flush=True)
+
+    model_j = build_slot_model(cfg)
+
+    def jax_hook(epoch, state):
+        if (epoch + 1) in snapshot_epochs:
+            maps[("J", epoch + 1)] = _jax_probe_maps(
+                model_j, state.variables(), probe_imgs, cfg)
+            print(f"[iou-floor] J snapshot @ epoch {epoch + 1}", flush=True)
+
+    _, accs["J"], _ = _jax_recipe(cfg, variables_j, train_arrays, val_arrays,
+                                  epochs, batch_size, lr, stage_seed,
+                                  on_epoch=jax_hook)
+    print(f"[iou-floor] jax done: final val acc {accs['J'][-1]:.4f}", flush=True)
+
+    pairs = (("A-B", "torch vs torch(+eps): Lyapunov floor"),
+             ("A-C", "torch vs torch(seed'): seed floor"),
+             ("A-J", "torch vs jax (identical init): CROSS-FRAMEWORK"))
+    result = {
+        "setup": f"{'negative' if loss_status == -1 else 'positive'} SCOUTER "
+                 f"recipe, {epochs} epochs x {n_train // batch_size} steps, "
+                 f"{probes} probes, eps={eps:g}, snapshots={snapshot_epochs}, "
+                 f"SYNTHETIC MNIST {img_size}px",
+        "val_acc": accs, "horizons": {},
+    }
+    kind = "negative" if loss_status == -1 else "positive"
+    lines = [f"# Heatmap-IoU noise floor ({kind} SCOUTER recipe)", "",
+             result["setup"], "",
+             "| horizon | pair | soft IoU | IoU@128 |", "|---|---|---|---|"]
+    for h in snapshot_epochs:
+        row = {}
+        for pair, _desc in pairs:
+            a, b = pair.split("-")
+            agg = _pair_iou(maps[(a, h)], maps[(b, h)], cfg.num_classes)
+            row[pair] = agg["mean"]
+            lines.append(f"| {h} ep | {pair} | {agg['mean']['soft_iou']:.4f} "
+                         f"| {agg['mean']['iou@128']:.4f} |")
+        # verdict per horizon: the meaningful floor is the EPS pair (both
+        # torch, identical but one ulp apart — pure fp32 chaos); the seed
+        # pair shows what genuinely-different models score. 5% relative
+        # margin on the eps floor absorbs probe-sampling noise.
+        aj, ab, ac = row["A-J"], row["A-B"], row["A-C"]
+        within_eps = all(aj[k] >= 0.95 * ab[k] for k in ("soft_iou", "iou@128"))
+        above_seed = all(aj[k] >= ac[k] for k in ("soft_iou", "iou@128"))
+        verdict = ("within eps-chaos floor" if within_eps else
+                   "between floors (above seed, below eps)" if above_seed
+                   else "AT/BELOW the independent-seed floor")
+        row["within_eps_floor"] = bool(within_eps)
+        row["above_seed_floor"] = bool(above_seed)
+        row["verdict"] = verdict
+        result["horizons"][str(h)] = row
+        lines.append(f"| {h} ep | verdict | {verdict} | |")
+    lines += ["", "pairs: A-B = eps floor (torch vs torch+1e-6: pure fp32 "
+              "chaos), A-C = independent-seed floor (genuinely different "
+              "models), A-J = cross-framework (identical init).",
+              "A-J >= 0.95 x A-B per metric  =>  the cross-framework heatmap "
+              "deltas are inside trained-model fp32 chaos, not a framework "
+              "divergence; A-J ~ A-C would mean the frameworks train "
+              "genuinely different explanations.", ""]
+    report = "\n".join(lines)
+    print(report)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2, default=float)
+    return result
+
+
 def _jax_agreement(model, state_a, state_b, val_arrays, batch_size):
     """Top-1 agreement between two trained jax states (the jax-vs-jax
     analogue of _torch_agreement)."""
@@ -899,6 +1076,30 @@ def run_plateau_sweep(epochs=20, n_train=512, n_val=128, batch_size=8,
         "rows": rows,
         "torch": _stats("torch_val_acc"), "jax": _stats("jax_val_acc"),
     }
+    if result["torch"] and result["jax"]:
+        # paired per-seed analysis: each row is an identical-init pair, so
+        # the per-seed delta is the right unit; a two-sided sign test asks
+        # whether either framework systematically wins (scipy-free exact
+        # binomial — n is small)
+        t_p = result["torch"]["plateau_per_seed"]
+        j_p = result["jax"]["plateau_per_seed"]
+        deltas = [j - t for t, j in zip(t_p, j_p)]
+        nonzero = [d for d in deltas if d != 0.0]
+        n_nz, k_pos = len(nonzero), sum(1 for d in nonzero if d > 0)
+        from math import comb
+        if n_nz:
+            tail = min(k_pos, n_nz - k_pos)
+            p_sign = min(1.0, 2 * sum(comb(n_nz, i) for i in range(tail + 1))
+                         / 2 ** n_nz)
+        else:
+            p_sign = 1.0
+        result["paired"] = {
+            "plateau_delta_per_seed": deltas,
+            "delta_mean": float(np.mean(deltas)),
+            "delta_std": float(np.std(deltas)),
+            "sign_test": {"n_nonzero": n_nz, "k_jax_wins": k_pos,
+                          "p_two_sided": p_sign},
+        }
     lines = [f"# Plateau sweep: {kind} SCOUTER recipe, init-seed "
              "distribution", "", result["sweep"], "",
              "| seed | torch plateau (last-5 mean) | torch final | "
@@ -918,6 +1119,17 @@ def run_plateau_sweep(epochs=20, n_train=512, n_val=128, batch_size=8,
                          f"± {st['plateau_std']:.4f} "
                          f"(range {st['plateau_min']:.4f}-"
                          f"{st['plateau_max']:.4f}, n={len(st['plateau_per_seed'])})")
+    if result.get("paired"):
+        pr = result["paired"]
+        st = pr["sign_test"]
+        lines.append("")
+        lines.append(
+            f"paired per-seed plateau delta (jax - torch): "
+            f"{pr['delta_mean']:+.4f} ± {pr['delta_std']:.4f}; sign test "
+            f"jax wins {st['k_jax_wins']}/{st['n_nonzero']}, two-sided "
+            f"p = {st['p_two_sided']:.3f} "
+            f"({'no' if st['p_two_sided'] > 0.05 else 'a'} systematic "
+            f"framework effect at alpha=0.05)")
     lines.append("")
     report = "\n".join(lines)
     print(report)
@@ -936,14 +1148,16 @@ def main(argv=None):
     ap.add_argument("--mode", default="parity",
                     choices=["parity", "full-recipe", "chaos-control",
                              "negative-convergence", "jax-chaos-control",
-                             "plateau-sweep"],
+                             "plateau-sweep", "iou-floor"],
                     help="parity: short side-by-side trajectory (default); "
                          "full-recipe: the 3-stage README chain in both "
                          "frameworks; chaos-control: torch vs eps-perturbed "
                          "torch (Lyapunov floor); negative-convergence: "
                          "extended-horizon plateau comparison; "
                          "jax-chaos-control: jax vs eps-perturbed jax; "
-                         "plateau-sweep: init-seed plateau distribution")
+                         "plateau-sweep: init-seed plateau distribution; "
+                         "iou-floor: trained-model heatmap-IoU noise floor "
+                         "(torch-vs-torch-eps/seed vs cross-framework)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="epochs per stage for the recipe modes")
     ap.add_argument("--out_path", default=None,
@@ -1003,7 +1217,7 @@ def main(argv=None):
             print(f"[parity_report] NOTE: --mode {ns.mode} runs the fixed "
                   f"MNIST-chain recipe; ignoring flags: {ignored}")
         if ns.mode in ("negative-convergence", "chaos-control",
-                       "jax-chaos-control", "plateau-sweep") \
+                       "jax-chaos-control", "plateau-sweep", "iou-floor") \
                 and ns.loss_status is not None:
             kwargs["loss_status"] = ns.loss_status
         if ns.mode in ("jax-chaos-control", "plateau-sweep"):
@@ -1015,7 +1229,8 @@ def main(argv=None):
               "chaos-control": run_chaos_control,
               "negative-convergence": run_negative_convergence,
               "jax-chaos-control": run_jax_chaos_control,
-              "plateau-sweep": run_plateau_sweep}[ns.mode]
+              "plateau-sweep": run_plateau_sweep,
+              "iou-floor": run_iou_floor}[ns.mode]
         fn(**kwargs)
         return
 

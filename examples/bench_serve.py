@@ -86,7 +86,8 @@ def main(argv=None):
             f.result(timeout=600)
         wall = time.perf_counter() - t0
         post = eng.stats()
-        stats = {k: post[k] - pre[k] for k in post}
+        stats = {k: post[k] - pre[k] for k in post
+                 if not isinstance(post[k], dict)}
 
     engine_ips = ns.requests / wall
     print(json.dumps({

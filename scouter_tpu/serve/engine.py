@@ -70,7 +70,10 @@ class InferenceEngine:
                     f"buckets {bad} not divisible by the {n}-device mesh")
             self._fn = jax.jit(fn, in_shardings=batch_sharding(mesh))
         self._queue: "queue.Queue" = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "padded": 0}
+        # bucket_fill["b/n"] counts device batches that ran bucket b carrying
+        # n live images — the padding histogram the load bench reports
+        self._stats = {"requests": 0, "batches": 0, "padded": 0,
+                       "bucket_fill": {}}
         self._lock = threading.Lock()
         self._closed = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -102,9 +105,11 @@ class InferenceEngine:
                 for s in range(0, n, max_b)]
         return {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
 
-    def stats(self) -> Dict[str, int]:
+    def stats(self) -> Dict:
         with self._lock:
-            return dict(self._stats)
+            out = dict(self._stats)
+            out["bucket_fill"] = dict(self._stats["bucket_fill"])
+            return out
 
     def close(self):
         self._closed.set()
@@ -150,6 +155,9 @@ class InferenceEngine:
         with self._lock:
             self._stats["batches"] += 1
             self._stats["padded"] += bucket - n
+            key = f"{bucket}/{n}"
+            self._stats["bucket_fill"][key] = (
+                self._stats["bucket_fill"].get(key, 0) + 1)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _drain_failed(self):

@@ -160,6 +160,8 @@ class TestEngine:
             stats = eng.stats()
         assert out["logits"].shape == (7, cfg.num_classes)
         assert stats["batches"] == 2 and stats["padded"] == 1
+        # fill histogram: one full 4-bucket, one 4-bucket carrying 3 live
+        assert stats["bucket_fill"] == {"4/4": 1, "4/3": 1}
         live = jax.jit(make_serving_fn(cfg, variables))
         want = np.asarray(live(jnp.asarray(imgs))["logits"])
         np.testing.assert_allclose(out["logits"], want, rtol=1e-5, atol=1e-5)

@@ -12,6 +12,15 @@ the batching. This engine does it in-process:
   program per bucket, compiled lazily on first use and cached thereafter);
 - results are sliced back out and futures resolved.
 
+Dispatch is PIPELINED: jax dispatch is asynchronous, so the dispatcher hands
+the (device outputs, futures) pair to a resolver thread and immediately forms
+the next batch; the resolver does the blocking device->host fetch and sets
+the futures. A bounded in-flight queue (``max_inflight``) applies
+backpressure so at most K batches queue on the device. The round-4 load run
+(docs/SERVE_LOAD_r4.md) motivated this: the previous loop blocked on the
+host fetch between batches, so every batch paid fetch latency (30+ ms over
+a remote-attached runtime) in the critical path.
+
 Everything is standard-library threading — no external serving framework —
 and the compute path is the same ``make_serving_fn`` program the AOT export
 uses, so engine results are export-artifact results.
@@ -42,10 +51,14 @@ class InferenceEngine:
         compute_dtype=None,
         include_maps: bool = True,
         mesh=None,
+        max_inflight: int = 3,
     ):
         """mesh: optional jax.sharding.Mesh — serve data-parallel over its
         'data' axis (each bucket batch is sharded across the mesh; every
-        bucket size must divide evenly by the mesh size)."""
+        bucket size must divide evenly by the mesh size).
+
+        max_inflight: device batches allowed in flight before the dispatcher
+        blocks (pipelining depth; 1 = the old fully-serial behavior)."""
         import jax
 
         self.cfg = cfg
@@ -76,6 +89,11 @@ class InferenceEngine:
                        "bucket_fill": {}}
         self._lock = threading.Lock()
         self._closed = threading.Event()
+        # pipelining: dispatched-but-unfetched batches; bounded so at most
+        # max_inflight device batches queue behind the executing one
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
+        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
+        self._resolver.start()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -115,6 +133,8 @@ class InferenceEngine:
         self._closed.set()
         self._queue.put(None)  # wake the dispatcher
         self._thread.join(timeout=10)
+        self._inflight.put(None)  # sentinel: resolver exits after the drain
+        self._resolver.join(timeout=30)
         self._drain_failed()
 
     def __enter__(self):
@@ -145,7 +165,9 @@ class InferenceEngine:
         raise AssertionError(
             f"internal: batch {n} exceeds largest bucket {self.buckets[-1]}")
 
-    def _run_padded(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+    def _dispatch_padded(self, images_u8: np.ndarray):
+        """Pad to the bucket and dispatch; returns DEVICE outputs (async —
+        jax returns before execution completes). Stats counted at dispatch."""
         n = images_u8.shape[0]
         bucket = self._bucket_for(n)
         if n < bucket:
@@ -158,6 +180,10 @@ class InferenceEngine:
             key = f"{bucket}/{n}"
             self._stats["bucket_fill"][key] = (
                 self._stats["bucket_fill"].get(key, 0) + 1)
+        return out
+
+    def _run_padded(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        out = self._dispatch_padded(images_u8)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _drain_failed(self):
@@ -190,11 +216,19 @@ class InferenceEngine:
             deadline = _now() + self.max_wait_s
             while len(batch) < max_bucket:
                 remaining = deadline - _now()
-                if remaining <= 0:
-                    break
+                if remaining <= 0 and not self._inflight.full():
+                    break  # window elapsed and the device has room: dispatch
                 try:
-                    nxt = self._queue.get(timeout=remaining)
+                    # while the in-flight pipe is full the device is saturated
+                    # and waiting to fill the bucket costs nothing — dispatching
+                    # a partial batch would only burn a dispatch on padding
+                    # (measured: naive pipelining shrank mean fill 6.8 -> 3.0
+                    # and LOST 35% throughput before this adaptive wait)
+                    nxt = self._queue.get(
+                        timeout=remaining if remaining > 0 else self.max_wait_s)
                 except queue.Empty:
+                    if self._inflight.full():
+                        continue
                     break
                 if nxt is None:
                     break
@@ -208,10 +242,29 @@ class InferenceEngine:
                 self._stats["requests"] += len(live)
             try:
                 images = np.stack([b[0] for b in live])
-                out = self._run_padded(images)
-                for i, (_, fut) in enumerate(live):
-                    fut.set_result({k: v[i] for k, v in out.items()})
+                # async dispatch: hand the device outputs to the resolver and
+                # immediately form the next batch; the bounded put blocks when
+                # max_inflight batches are already queued on the device
+                out = self._dispatch_padded(images)
+                self._inflight.put((out, live))
             except Exception as exc:  # resolve, never hang callers
+                for _, fut in live:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+    def _resolve_loop(self):
+        """Fetch dispatched batches to host (the blocking step) and resolve
+        futures — off the dispatcher's critical path."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            out, live = item
+            try:
+                host = {k: np.asarray(v) for k, v in out.items()}
+                for i, (_, fut) in enumerate(live):
+                    fut.set_result({k: v[i] for k, v in host.items()})
+            except Exception as exc:
                 for _, fut in live:
                     if not fut.done():
                         fut.set_exception(exc)

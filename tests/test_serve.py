@@ -137,6 +137,24 @@ class TestEngine:
         assert stats["requests"] == 5
         assert stats["batches"] >= 2  # 5 requests cannot fit one 4-bucket
 
+    def test_pipelined_dispatch_matches_serial(self):
+        """A burst through the pipelined dispatcher (max_inflight > 1) must
+        resolve every future to the same logits as the serial engine — the
+        resolver thread only moves the host fetch off the dispatch path."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 12, seed=11)
+        with InferenceEngine(cfg, variables, buckets=(1, 4), max_wait_ms=1.0,
+                             max_inflight=4) as eng:
+            futs = [eng.submit(img) for img in imgs]
+            got = np.stack([f.result(timeout=120)["logits"] for f in futs])
+            assert eng.stats()["requests"] == 12
+        with InferenceEngine(cfg, variables, buckets=(1, 4), max_wait_ms=1.0,
+                             max_inflight=1) as eng:
+            futs = [eng.submit(img) for img in imgs]
+            want = np.stack([f.result(timeout=120)["logits"] for f in futs])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_bucket_padding_is_masked_out(self):
         """A 3-image batch through the 4-bucket must equal the unpadded fn."""
         cfg = small_cfg()

@@ -67,6 +67,7 @@ def make_train_step(
     mesh=None,
     sync_bn: bool = True,
     state_shardings=None,
+    auto_layout: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. ``model`` is the SlotModel module.
 
@@ -169,6 +170,20 @@ def make_train_step(
         mesh_for_out = jax.tree_util.tree_leaves(state_shardings)[0].mesh
         jit_kwargs["out_shardings"] = (
             state_shardings, NamedSharding(mesh_for_out, PartitionSpec()))
+    elif auto_layout:
+        # Let XLA choose the ENTRY layout of the donated TrainState instead of
+        # forcing row-major: the round-4 xprof profile showed ~2 ms of the
+        # 13.35 ms step in layout copies — conv kernels stored {3,2,1,0} were
+        # copied to the conv-preferred {2,3,1,0} on the way in and copied back
+        # on the way out (donation aliasing requires matching layouts), plus
+        # exposed VMEM prefetch waits on the fp32 master params. With AUTO
+        # layouts the state round-trips step-to-step in XLA's preferred
+        # layout; the one-time relayout happens on the first call (jax
+        # device_puts mismatched-layout args automatically).
+        from jax.experimental.layout import Format
+
+        jit_kwargs["in_shardings"] = (Format(), None)
+        jit_kwargs["out_shardings"] = (Format(), None)
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    **jit_kwargs)
 

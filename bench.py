@@ -157,13 +157,23 @@ def main():
     # --s2d: lower the stem's first conv through space-to-depth (exact; see
     # models/layers.py::SpaceToDepthStemConv) to measure the stem-MXU-shape fix.
     bk = {"s2d_stem": True} if "--s2d" in sys.argv else None
+    # --int8: hybrid int8 serving quantization (serve/quant.py) — pointwise
+    # convs run s8xs8->s32 on the MXU; measured r4 on the isolated shapes:
+    # 1.65x on the fat 1x1s, +8% on the grouped radix 3x3s (left in bf16).
+    quant = "int8" if "--int8" in sys.argv else None
     model = build_slot_model(cfg, dtype=jnp.bfloat16, backbone_kwargs=bk)
     x = jnp.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x, jnp.float32))
 
+    import contextlib
+
+    from scouter_tpu.serve.quant import quantized_convs
+
     @jax.jit
     def forward(variables, images):
-        out = model.apply(variables, images.astype(jnp.bfloat16))
+        ctx = quantized_convs(quant) if quant else contextlib.nullcontext()
+        with ctx:
+            out = model.apply(variables, images.astype(jnp.bfloat16))
         return out["logits"]
 
     # model FLOPs from the compiled program's own cost analysis (the same
@@ -189,7 +199,7 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s = cfg.batch_size * iters / dt
-    suffix = ", s2d stem" if bk else ""
+    suffix = (", s2d stem" if bk else "") + (", int8 pointwise" if quant else "")
     achieved_tflops = flops_per_batch * iters / dt / 1e12
     print(json.dumps({
         "metric": f"images/sec/chip (resnest26d+xSlot, 224px, bs=70, inference{suffix})",

@@ -20,6 +20,15 @@ from flax import linen as nn
 
 from .act import relu as _act_relu
 
+# Conv-substitution hook for serving-time quantization: serve/quant.py's
+# quantized_convs(...) context manager installs a policy callable
+# (kernel_size, groups) -> conv_general_dilated-or-None here; conv2d consults
+# it at module-construction (trace) time. threading.local because the serving
+# engine compiles bucket programs from its dispatcher thread.
+import threading as _threading
+
+_conv_policy = _threading.local()
+
 __all__ = [
     "conv2d",
     "batch_norm",
@@ -62,7 +71,13 @@ def conv2d(
     else:
         p = torch_conv_padding(kernel_size, stride, dilation) if padding is None else padding
         pad = [(p, p), (p, p)]
+    # serving-time quantization hook (serve/quant.py): inside a
+    # quantized_convs(...) context the active policy may substitute an int8
+    # conv_general_dilated for this conv's shape; None = plain lax conv.
+    policy = getattr(_conv_policy, "fn", None)
+    injected = policy(kernel_size, groups) if policy is not None else None
     return nn.Conv(
+        conv_general_dilated=injected,
         features=features,
         kernel_size=(kernel_size, kernel_size),
         strides=(stride, stride),

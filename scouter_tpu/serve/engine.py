@@ -52,6 +52,7 @@ class InferenceEngine:
         include_maps: bool = True,
         mesh=None,
         max_inflight: int = 3,
+        quant=None,
     ):
         """mesh: optional jax.sharding.Mesh — serve data-parallel over its
         'data' axis (each bucket batch is sharded across the mesh; every
@@ -69,7 +70,8 @@ class InferenceEngine:
             raise ValueError("buckets must be positive ints")
         self.max_wait_s = max_wait_ms / 1e3
         fn = make_serving_fn(
-            cfg, variables, compute_dtype=compute_dtype, include_maps=include_maps
+            cfg, variables, compute_dtype=compute_dtype, include_maps=include_maps,
+            quant=quant,
         )
         if mesh is None:
             self._fn = jax.jit(fn)

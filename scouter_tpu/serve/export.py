@@ -53,12 +53,19 @@ def _render_slot_maps(attn, num_classes: int, slots_per_class: int):
     return scaled.reshape(b, num_classes, side, side).astype(jnp.uint8)
 
 
-def make_serving_fn(cfg, variables, *, compute_dtype=None, include_maps: bool = True):
+def make_serving_fn(cfg, variables, *, compute_dtype=None, include_maps: bool = True,
+                    quant: Optional[str] = None):
     """Build the pure serving function ``fn(images_u8) -> dict`` with weights
     closed over. The model is built on the portable jnp slot path
     (``fused_slot=False``): a Pallas call would pin the artifact to one
     backend, and the jnp path is the measured end-to-end serving winner
-    anyway (PARITY.md, dated 2026-08-17 decision)."""
+    anyway (PARITY.md, dated 2026-08-17 decision).
+
+    ``quant='int8'`` activates the hybrid int8 policy (serve/quant.py):
+    pointwise backbone convs run s8xs8->s32 on the MXU with dynamic
+    activation scales; everything else stays in ``compute_dtype``."""
+    import contextlib
+
     import jax.numpy as jnp
 
     from ..data.transforms import preprocess_batch
@@ -67,8 +74,12 @@ def make_serving_fn(cfg, variables, *, compute_dtype=None, include_maps: bool = 
     model = build_slot_model(cfg, fused_slot=False, dtype=compute_dtype)
 
     def fn(images_u8):
+        from .quant import quantized_convs
+
         x = preprocess_batch(images_u8, dataset=cfg.dataset, img_size=cfg.img_size)
-        out = model.apply(variables, x)
+        ctx = quantized_convs(quant) if quant else contextlib.nullcontext()
+        with ctx:
+            out = model.apply(variables, x)
         result = {"logits": out["logits"].astype(jnp.float32)}
         if cfg.use_slot and include_maps:
             result["slot_maps"] = _render_slot_maps(

@@ -309,3 +309,70 @@ class TestHTTPServer:
             finally:
                 server.shutdown()
                 server.server_close()
+
+
+class TestQuant:
+    """Hybrid int8 serving quantization (serve/quant.py)."""
+
+    def test_int8_conv_matches_manual_fakequant(self):
+        """The injected conv must equal explicit quantize/conv/dequantize."""
+        from scouter_tpu.serve.quant import int8_conv_general_dilated
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        w = jnp.asarray(rng.randn(1, 1, 16, 32), jnp.float32)
+        got = int8_conv_general_dilated(
+            x, w, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+        a_s = np.max(np.abs(np.asarray(x))) / 127.0
+        qa = np.clip(np.round(np.asarray(x) / a_s), -127, 127)
+        w_s = np.abs(np.asarray(w)).max(axis=(0, 1, 2)) / 127.0
+        qw = np.clip(np.round(np.asarray(w) / w_s), -127, 127)
+        want = np.einsum("bhwi,io->bhwo", qa, qw[0, 0]) * (a_s * w_s)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+    def test_policy_targets_pointwise_only(self):
+        from scouter_tpu.serve.quant import (QUANT_POLICIES,
+                                             int8_conv_general_dilated)
+
+        policy = QUANT_POLICIES["int8"]
+        assert policy(1, 1) is int8_conv_general_dilated
+        assert policy(3, 1) is None   # spatial convs stay float
+        assert policy(1, 2) is None   # grouped projections stay float
+
+    def test_quantized_serving_fn_close_to_float(self):
+        """quant='int8' must rewrite at least one conv to s8xs8->s32 (visible
+        in the jaxpr) and keep top-1 agreement with the float path on smooth
+        probe images."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 4, seed=5)
+        f_ref = jax.jit(make_serving_fn(cfg, variables))
+        f_q = jax.jit(make_serving_fn(cfg, variables, quant="int8"))
+        jaxpr = str(jax.make_jaxpr(make_serving_fn(cfg, variables, quant="int8"))(imgs))
+        assert "preferred_element_type=int32" in jaxpr, "no int8 conv traced"
+        ref = np.asarray(f_ref(imgs)["logits"])
+        q = np.asarray(f_q(imgs)["logits"])
+        # PTQ noise bound: logits stay close (random-init logits are
+        # near-tied, so exact argmax equality is not a meaningful check —
+        # only that quantization error stays far below the logit scale)
+        denom = np.maximum(np.abs(ref).max(), 1e-3)
+        err = np.abs(ref - q).max() / denom
+        assert err < 0.05, (err, ref, q)
+        # and wherever the float top-1 margin exceeds the PTQ error, the
+        # quantized path must agree on the class
+        srt = np.sort(ref, axis=1)
+        margin = srt[:, -1] - srt[:, -2]
+        decisive = margin > 2 * np.abs(ref - q).max()
+        assert np.array_equal(ref[decisive].argmax(1), q[decisive].argmax(1))
+
+    def test_engine_accepts_quant(self):
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 2, seed=7)
+        with InferenceEngine(cfg, variables, buckets=(2,), max_wait_ms=5.0,
+                             quant="int8") as eng:
+            futs = [eng.submit(img) for img in imgs]
+            out = [f.result(timeout=300) for f in futs]
+        assert all(np.isfinite(o["logits"]).all() for o in out)

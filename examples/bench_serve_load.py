@@ -36,7 +36,7 @@ sys.path.insert(0, _REPO)
 def _percentiles(vals):
     if not vals:
         return {}
-    v = np.sort(np.asarray(vals, np.float64))
+    v = np.asarray(vals, np.float64)
     return {p: float(np.percentile(v, p)) for p in (50, 90, 99)}
 
 
@@ -146,7 +146,10 @@ def main(argv=None):
         post_stats = eng.stats()
         server.shutdown()
 
-    total = ns.clients * ns.requests
+    # throughput numerator = SUCCESSFUL requests only (errored requests
+    # return near-instantly and would inflate req/s while the latency tables
+    # exclude them)
+    total = sum(len(v) for v in lat.values())
     fill = {k: post_stats["bucket_fill"].get(k, 0) - pre["bucket_fill"].get(k, 0)
             for k in post_stats["bucket_fill"]}
     fill = {k: v for k, v in sorted(fill.items(),

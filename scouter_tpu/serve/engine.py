@@ -134,9 +134,12 @@ class InferenceEngine:
     def close(self):
         self._closed.set()
         self._queue.put(None)  # wake the dispatcher
-        self._thread.join(timeout=10)
+        # generous join: a cold first-use bucket compile can take minutes, and
+        # the sentinel below must be enqueued AFTER the dispatcher's last
+        # batch or that batch's futures would strand behind an exited resolver
+        self._thread.join(timeout=600)
         self._inflight.put(None)  # sentinel: resolver exits after the drain
-        self._resolver.join(timeout=30)
+        self._resolver.join(timeout=60)
         self._drain_failed()
 
     def __enter__(self):
@@ -189,16 +192,36 @@ class InferenceEngine:
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _drain_failed(self):
-        """Fail any requests stranded in the queue after shutdown."""
+        """Resolve or fail anything stranded after shutdown: un-dispatched
+        requests in the queue, and dispatched batches left in the in-flight
+        pipe (possible if a join above timed out — their results exist on
+        device, so resolve them rather than hang the callers)."""
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
-                return
+                break
             if item is not None:
                 _, fut = item
                 if fut.set_running_or_notify_cancel():
                     fut.set_exception(RuntimeError("engine is closed"))
+        while True:
+            try:
+                inflight = self._inflight.get_nowait()
+            except queue.Empty:
+                return
+            if inflight is None:
+                continue
+            out, live = inflight
+            try:
+                host = {k: np.asarray(v) for k, v in out.items()}
+                for i, (_, fut) in enumerate(live):
+                    if not fut.done():
+                        fut.set_result({k: v[i] for k, v in host.items()})
+            except Exception as exc:
+                for _, fut in live:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     def _dispatch_loop(self):
         max_bucket = self.buckets[-1]

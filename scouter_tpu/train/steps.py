@@ -180,10 +180,14 @@ def make_train_step(
         # layouts the state round-trips step-to-step in XLA's preferred
         # layout; the one-time relayout happens on the first call (jax
         # device_puts mismatched-layout args automatically).
-        from jax.experimental.layout import Format
+        from jax.experimental.layout import Format, Layout
 
-        jit_kwargs["in_shardings"] = (Format(), None)
-        jit_kwargs["out_shardings"] = (Format(), None)
+        # Format(Layout.AUTO), NOT Format(): a bare Format() means
+        # "unconstrained = default layout" and silently compiles the
+        # identical executable (round-4 review finding, verified).
+        auto = Format(Layout.AUTO)
+        jit_kwargs["in_shardings"] = (auto, None)
+        jit_kwargs["out_shardings"] = (auto, None)
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    **jit_kwargs)
 

@@ -111,10 +111,12 @@ class TestTrainStep:
         TrainState's entry layout (jax.experimental.layout.Format AUTO). It is
         a layout-only change: two steps from identical weights must produce
         the same loss trajectory as the default step. (On the v5e flagship
-        bench this measured NEUTRAL — 13.92 vs 13.89 ms/step — because the
-        step's layout copies are XLA-internal grouped-conv transitions, not
-        entry-layout artifacts; the option is kept as a tuning knob and this
-        test pins its plumbing: donation aliasing + relayout-on-first-call.)"""
+        bench AUTO verifiably engages — 28/399 entry params get non-default
+        layouts — but nets only +0.8% (14.08 -> 13.97 ms/step, within noise):
+        the step's big layout copies are XLA-internal grouped-conv
+        transitions, not entry-layout artifacts. The option is kept as a
+        tuning knob and this test pins its plumbing: donation aliasing +
+        relayout-on-first-call.)"""
         cfg = small_cfg()
         t_ref = Trainer(cfg, datasets=make_datasets())
         t_auto = Trainer(cfg, datasets=make_datasets())

@@ -25,7 +25,13 @@ import numpy as np
 
 from .config import ScouterConfig, checkpoint_name
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "checkpoint_path", "save_on_master"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "checkpoint_path",
+    "save_on_master",
+    "AsyncCheckpointWriter",
+]
 
 
 def checkpoint_path(output_dir: str, cfg: ScouterConfig, epoch: Optional[int] = None) -> str:
@@ -68,37 +74,108 @@ def _config_dict(cfg: ScouterConfig) -> Dict[str, Any]:
     return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
 
 
+class AsyncCheckpointWriter:
+    """Single-worker background writer for epoch-boundary checkpoints.
+
+    The device->host snapshot (:func:`_to_host`) stays SYNCHRONOUS on the
+    caller's thread — it is a collective under multi-host TP/ZeRO-1, and the
+    donated train step invalidates the old state's device buffers, so the copy
+    must land before the next step. What overlaps with subsequent compute is
+    the CPU-heavy part: msgpack/flax serialization plus the disk write.
+
+    Writes are FIFO on one daemon thread; a failed write is re-raised at the
+    next :meth:`drain` (and the loop calls drain at end-of-fit and before a
+    preemption exit, so errors cannot pass silently)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:  # surfaced at drain()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn) -> None:
+        self._q.put(fn)
+
+    def drain(self) -> None:
+        """Block until every submitted write finished; re-raise the first error."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self.drain()
+        self._q.put(None)
+        self._thread.join(timeout=10.0)
+
+
 def save_checkpoint(
     output_dir: str,
     cfg: ScouterConfig,
     state: Any,
     epoch: int,
+    batch: Optional[int] = None,
+    writer: Optional[AsyncCheckpointWriter] = None,
 ) -> Tuple[str, ...]:
-    """Save latest (+ archival per the reference cadence). Returns paths written."""
+    """Save latest (+ archival per the reference cadence). Returns paths written.
+
+    ``batch``: when not None, this is a mid-epoch preemption snapshot — the
+    payload records the number of completed train batches of ``epoch`` so
+    resume can skip exactly that prefix (the epoch-seeded loader is
+    deterministic per (seed, epoch, batch index)). Preemption snapshots only
+    overwrite the 'latest' path, never the archival copies.
+
+    ``writer``: an :class:`AsyncCheckpointWriter`; serialization + disk write
+    are deferred to its thread (the host snapshot still happens here — see the
+    writer's docstring for why)."""
     # _to_host is a collective when leaves are non-fully-addressable (multi-host
     # TP/ZeRO-1): ALL processes must run it; only rank 0 serializes + writes.
     host_state = _to_host(state)
     if jax.process_index() != 0:
         return tuple()
-    blob = msgpack.packb(
-        {
+    paths = [checkpoint_path(output_dir, cfg)]
+    if batch is None and ((epoch + 1) % cfg.lr_drop == 0 or (epoch + 1) % 10 == 0):
+        # train.py:185-188 archival cadence
+        paths.append(checkpoint_path(output_dir, cfg, epoch))
+
+    def _serialize_and_write():
+        payload = {
             "state": fser.to_bytes(host_state),
             "epoch": epoch,
             "config": _config_dict(cfg),
-        },
-        use_bin_type=True,
-    )
-    paths = [checkpoint_path(output_dir, cfg)]
-    if (epoch + 1) % cfg.lr_drop == 0 or (epoch + 1) % 10 == 0:  # train.py:185-188
-        paths.append(checkpoint_path(output_dir, cfg, epoch))
-    for p in paths:
-        save_on_master(blob, p)
+        }
+        if batch is not None:
+            payload["batch"] = int(batch)
+        blob = msgpack.packb(payload, use_bin_type=True)
+        for p in paths:
+            save_on_master(blob, p)
+
+    if writer is not None:
+        writer.submit(_serialize_and_write)
+    else:
+        _serialize_and_write()
     return tuple(paths)
 
 
 def restore_checkpoint(
-    path: str, state_template: Any, shardings: Any = None
-) -> Tuple[Any, int, Dict]:
+    path: str, state_template: Any, shardings: Any = None, return_batch: bool = False
+) -> Tuple[Any, ...]:
     """Restore onto a template TrainState (shapes/types must match).
 
     ``shardings``: a NamedSharding pytree matching the state (the TP/ZeRO-1
@@ -107,13 +184,20 @@ def restore_checkpoint(
     donated GSPMD step whose out_shardings pin the TP layout would then trip
     XLA's donation-aliasing check (replicated input aliased to sharded output).
     Passing the layout re-places the restored state before it is returned —
-    the resume-under-mesh contract of ``train.py:163-169``."""
+    the resume-under-mesh contract of ``train.py:163-169``.
+
+    ``return_batch=True`` appends a 4th element: the completed-batch count of
+    a mid-epoch preemption snapshot (None for a normal epoch-boundary save)."""
     with open(path, "rb") as f:
         payload = msgpack.unpackb(f.read(), raw=False)
     restored = fser.from_bytes(state_template, payload["state"])
     if shardings is not None:
         restored = jax.device_put(restored, shardings)
-    return restored, int(payload["epoch"]), payload["config"]
+    out = (restored, int(payload["epoch"]), payload["config"])
+    if return_batch:
+        b = payload.get("batch")
+        out = out + (int(b) if b is not None else None,)
+    return out
 
 
 # ---- Orbax backend -----------------------------------------------------------

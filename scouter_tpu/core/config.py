@@ -98,6 +98,12 @@ class ScouterConfig:
     # ZeRO-1: store AdamW mu/nu sharded over the 'data' mesh axis
     # (parallel/tp.py); requires sync_bn=True
     zero1: bool = False
+    # resilience (no reference counterpart): SIGTERM -> finish the current
+    # step, checkpoint with the batch cursor, exit; --resume continues from
+    # exactly that step (train/preempt.py). ckpt_async overlaps checkpoint
+    # serialization + disk IO with the next epoch's compute.
+    preempt_save: bool = False
+    ckpt_async: bool = False
     seed: int = 0
 
     def replace(self, **kw) -> "ScouterConfig":
@@ -163,6 +169,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "or follow compute_dtype")
     p.add_argument("--zero1", default=False, type=str2bool,
                    help="shard optimizer state over the data mesh axis (ZeRO-1)")
+    p.add_argument("--preempt_save", default=False, type=str2bool,
+                   help="on SIGTERM, checkpoint mid-epoch with the batch "
+                        "cursor and exit; --resume continues from that step")
+    p.add_argument("--ckpt_async", default=False, type=str2bool,
+                   help="serialize+write checkpoints on a background thread")
     p.add_argument("--seed", default=0, type=int)
     return p
 

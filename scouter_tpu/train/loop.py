@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
+from ..core.checkpoint import (
+    AsyncCheckpointWriter,
+    checkpoint_path,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from ..core.config import ScouterConfig
 from ..data import Loader, select_dataset
 from ..models import build_slot_model
@@ -104,6 +109,20 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, float(cfg.lambda_value))
         self.log = MetricLog()
         self.start_epoch = cfg.start_epoch
+        # resilience (production value-add; no reference counterpart):
+        # --preempt_save: SIGTERM -> finish the current step, checkpoint with
+        # the batch cursor, exit; --ckpt_async: overlap checkpoint
+        # serialization/IO with the next epoch (train/preempt.py docs)
+        self._skip_batches = 0  # mid-epoch resume cursor
+        self._preempted_at = None  # (epoch, completed_batches) once triggered
+        self.guard = None
+        if getattr(cfg, "preempt_save", False):
+            from .preempt import PreemptionGuard
+
+            self.guard = PreemptionGuard().install()
+        self.ckpt_writer = (
+            AsyncCheckpointWriter() if getattr(cfg, "ckpt_async", False) else None
+        )
 
     def _place_state(self) -> None:
         """Tensor-parallel / ZeRO-1 placement (parallel/tp.py): when the mesh
@@ -228,17 +247,32 @@ class Trainer:
         if self.cfg.resume:
             # TP/ZeRO-1: re-place onto the pinned layout before the restored
             # state re-enters the donated GSPMD step (core/checkpoint.py docs)
-            self.state, epoch, _ = restore_checkpoint(
-                path, self.state, shardings=self.state_shardings)
-            self.start_epoch = epoch + 1
-            print(f"resumed from {path} at epoch {epoch}")
+            self.state, epoch, _, batch = restore_checkpoint(
+                path, self.state, shardings=self.state_shardings,
+                return_batch=True)
+            if batch is not None:
+                # preemption snapshot: redo epoch `epoch` from its batch
+                # cursor — the epoch-seeded loader makes the skip exact
+                self.start_epoch = epoch
+                self._skip_batches = batch
+                print(f"resumed from {path} at epoch {epoch}, batch {batch}")
+            else:
+                self.start_epoch = epoch + 1
+                print(f"resumed from {path} at epoch {epoch}")
 
     def run_epoch(self, epoch: int, mode: str) -> Dict[str, float]:
         loader = self.loader_train if mode == "train" else self.loader_val
         sums = None
         n = 0
+        # mid-epoch resume: consume (but don't step on) the first
+        # `_skip_batches` batches so the per-batch augmentation keys
+        # (fold_in(key, batch_index)) stay aligned with the interrupted run
+        skip = self._skip_batches if mode == "train" else 0
+        self._skip_batches = 0
         print(f"start {mode} :{epoch}")
-        for batch in loader.epoch(epoch):
+        for bi, batch in enumerate(loader.epoch(epoch)):
+            if bi < skip:
+                continue
             if mode == "train":
                 self.state, metrics = self.train_step(self.state, batch)
             else:
@@ -247,6 +281,9 @@ class Trainer:
                 lambda a, b: a + b, sums, metrics
             )
             n += 1
+            if mode == "train" and self.guard is not None and self.guard.triggered:
+                self._preempted_at = (epoch, bi + 1)
+                break
         avg = _average(jax.device_get(sums) if sums else
                        {k: 0.0 for k in ("loss", "acc", "log_loss", "att_loss")}, n)
         self.log.append(mode, avg)
@@ -263,10 +300,26 @@ class Trainer:
             # reference means epoch e runs at lr * gamma^(e // lr_drop))
             self.state = set_learning_rate(self.state, step_lr(cfg.lr, epoch, cfg.lr_drop))
             self.run_epoch(epoch, "train")
+            if self._preempted_at is not None:
+                # graceful preemption: durably checkpoint the batch cursor
+                # (synchronous write — the process is about to exit), then
+                # stop; --resume continues from exactly this step
+                ep, nb = self._preempted_at
+                if cfg.output_dir:
+                    if self.ckpt_writer is not None:
+                        self.ckpt_writer.drain()
+                    save_checkpoint(cfg.output_dir, cfg, self.state, ep, batch=nb)
+                print(f"[preempt] checkpointed epoch {ep} at batch {nb}; exiting")
+                break
             if cfg.output_dir:
-                save_checkpoint(cfg.output_dir, cfg, self.state, epoch)
+                save_checkpoint(cfg.output_dir, cfg, self.state, epoch,
+                                writer=self.ckpt_writer)
             self.run_epoch(epoch, "val")
             self.log.print_metric()
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.drain()
+        if self.guard is not None:
+            self.guard.uninstall()
         total = time.time() - start
         print(f"Training time {total:.1f}s")
         r = self.log.record

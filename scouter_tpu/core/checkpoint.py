@@ -105,7 +105,8 @@ class AsyncCheckpointWriter:
             try:
                 fn()
             except BaseException as e:  # surfaced at drain()
-                self._err = e
+                if self._err is None:  # first error wins (docstring contract)
+                    self._err = e
             finally:
                 self._q.task_done()
 
@@ -120,9 +121,13 @@ class AsyncCheckpointWriter:
             raise err
 
     def close(self) -> None:
-        self.drain()
-        self._q.put(None)
-        self._thread.join(timeout=10.0)
+        # sentinel + join must happen even when drain() re-raises, or the
+        # daemon thread stays parked on the queue forever
+        try:
+            self.drain()
+        finally:
+            self._q.put(None)
+            self._thread.join(timeout=10.0)
 
 
 def save_checkpoint(
@@ -132,6 +137,7 @@ def save_checkpoint(
     epoch: int,
     batch: Optional[int] = None,
     writer: Optional[AsyncCheckpointWriter] = None,
+    metric_sums: Optional[Dict[str, Any]] = None,
 ) -> Tuple[str, ...]:
     """Save latest (+ archival per the reference cadence). Returns paths written.
 
@@ -140,6 +146,13 @@ def save_checkpoint(
     resume can skip exactly that prefix (the epoch-seeded loader is
     deterministic per (seed, epoch, batch index)). Preemption snapshots only
     overwrite the 'latest' path, never the archival copies.
+
+    ``metric_sums``: a ``{"sums": {name: float}, "n": int}`` dict of the
+    interrupted train epoch's running metric sums, carried so the resumed
+    epoch's logged average covers ALL its batches — not just the post-resume
+    suffix (the reference's per-epoch MetricLog semantics,
+    ``tools/calculate_tool.py:18-31``, would otherwise drift on resume even
+    though params are bit-identical).
 
     ``writer``: an :class:`AsyncCheckpointWriter`; serialization + disk write
     are deferred to its thread (the host snapshot still happens here — see the
@@ -162,6 +175,11 @@ def save_checkpoint(
         }
         if batch is not None:
             payload["batch"] = int(batch)
+        if metric_sums is not None:
+            payload["metric_sums"] = {
+                "sums": {k: float(v) for k, v in metric_sums["sums"].items()},
+                "n": int(metric_sums["n"]),
+            }
         blob = msgpack.packb(payload, use_bin_type=True)
         for p in paths:
             save_on_master(blob, p)
@@ -174,7 +192,8 @@ def save_checkpoint(
 
 
 def restore_checkpoint(
-    path: str, state_template: Any, shardings: Any = None, return_batch: bool = False
+    path: str, state_template: Any, shardings: Any = None,
+    return_batch: bool = False, return_extras: bool = False,
 ) -> Tuple[Any, ...]:
     """Restore onto a template TrainState (shapes/types must match).
 
@@ -187,7 +206,10 @@ def restore_checkpoint(
     the resume-under-mesh contract of ``train.py:163-169``.
 
     ``return_batch=True`` appends a 4th element: the completed-batch count of
-    a mid-epoch preemption snapshot (None for a normal epoch-boundary save)."""
+    a mid-epoch preemption snapshot (None for a normal epoch-boundary save).
+
+    ``return_extras=True`` appends a dict of optional payload extras
+    (currently ``metric_sums`` — see :func:`save_checkpoint`)."""
     with open(path, "rb") as f:
         payload = msgpack.unpackb(f.read(), raw=False)
     restored = fser.from_bytes(state_template, payload["state"])
@@ -197,6 +219,8 @@ def restore_checkpoint(
     if return_batch:
         b = payload.get("batch")
         out = out + (int(b) if b is not None else None,)
+    if return_extras:
+        out = out + ({k: payload[k] for k in ("metric_sums",) if k in payload},)
     return out
 
 

@@ -115,6 +115,9 @@ class Trainer:
         # serialization/IO with the next epoch (train/preempt.py docs)
         self._skip_batches = 0  # mid-epoch resume cursor
         self._preempted_at = None  # (epoch, completed_batches) once triggered
+        self._preempt_sums = None  # interrupted epoch's (metric sums, n)
+        self._resume_metric_sums = None  # restored sums for the redone epoch
+        self._preempt_exit = False  # SIGTERM during val: exit after the epoch
         self.guard = None
         if getattr(cfg, "preempt_save", False):
             from .preempt import PreemptionGuard
@@ -247,18 +250,37 @@ class Trainer:
         if self.cfg.resume:
             # TP/ZeRO-1: re-place onto the pinned layout before the restored
             # state re-enters the donated GSPMD step (core/checkpoint.py docs)
-            self.state, epoch, _, batch = restore_checkpoint(
+            self.state, epoch, _, batch, extras = restore_checkpoint(
                 path, self.state, shardings=self.state_shardings,
-                return_batch=True)
+                return_batch=True, return_extras=True)
             if batch is not None:
                 # preemption snapshot: redo epoch `epoch` from its batch
                 # cursor — the epoch-seeded loader makes the skip exact
                 self.start_epoch = epoch
                 self._skip_batches = batch
+                self._resume_metric_sums = extras.get("metric_sums")
                 print(f"resumed from {path} at epoch {epoch}, batch {batch}")
             else:
                 self.start_epoch = epoch + 1
                 print(f"resumed from {path} at epoch {epoch}")
+
+    def _stop_consensus(self) -> bool:
+        """Cross-process-consistent preemption decision.
+
+        SIGTERM delivery timing differs per worker in a multi-host run; a rank
+        that broke out of the epoch alone would enter the checkpoint's
+        process_allgather while the others are still in train_step's psum —
+        deadlock — and their optimizer states would diverge. So every rank,
+        every batch, max-reduces its local flag and they all stop at the SAME
+        batch index. Single-process (the common case) short-circuits to the
+        local flag with zero overhead."""
+        local = self.guard is not None and self.guard.triggered
+        if self.guard is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(np.int32(local))
+            return bool(np.max(flags))
+        return local
 
     def run_epoch(self, epoch: int, mode: str) -> Dict[str, float]:
         loader = self.loader_train if mode == "train" else self.loader_val
@@ -266,9 +288,15 @@ class Trainer:
         n = 0
         # mid-epoch resume: consume (but don't step on) the first
         # `_skip_batches` batches so the per-batch augmentation keys
-        # (fold_in(key, batch_index)) stay aligned with the interrupted run
+        # (fold_in(key, batch_index)) stay aligned with the interrupted run;
+        # seed the metric sums from the interrupted epoch's snapshot so the
+        # logged average covers all batches, not just the suffix
         skip = self._skip_batches if mode == "train" else 0
         self._skip_batches = 0
+        if mode == "train" and skip and self._resume_metric_sums is not None:
+            sums = dict(self._resume_metric_sums["sums"])
+            n = int(self._resume_metric_sums["n"])
+            self._resume_metric_sums = None
         print(f"start {mode} :{epoch}")
         for bi, batch in enumerate(loader.epoch(epoch)):
             if bi < skip:
@@ -281,8 +309,19 @@ class Trainer:
                 lambda a, b: a + b, sums, metrics
             )
             n += 1
-            if mode == "train" and self.guard is not None and self.guard.triggered:
-                self._preempted_at = (epoch, bi + 1)
+            if self.guard is not None and self._stop_consensus():
+                if mode == "train":
+                    self._preempted_at = (epoch, bi + 1)
+                    self._preempt_sums = {
+                        "sums": {k: float(v)
+                                 for k, v in jax.device_get(sums).items()},
+                        "n": n,
+                    }
+                else:
+                    # SIGTERM mid-val: no cursor needed — the epoch-boundary
+                    # checkpoint already exists; exit promptly (the logged val
+                    # average covers only the prefix of this epoch)
+                    self._preempt_exit = True
                 break
         avg = _average(jax.device_get(sums) if sums else
                        {k: 0.0 for k in ("loss", "acc", "log_loss", "att_loss")}, n)
@@ -308,14 +347,23 @@ class Trainer:
                 if cfg.output_dir:
                     if self.ckpt_writer is not None:
                         self.ckpt_writer.drain()
-                    save_checkpoint(cfg.output_dir, cfg, self.state, ep, batch=nb)
-                print(f"[preempt] checkpointed epoch {ep} at batch {nb}; exiting")
+                    save_checkpoint(cfg.output_dir, cfg, self.state, ep,
+                                    batch=nb, metric_sums=self._preempt_sums)
+                    print(f"[preempt] checkpointed epoch {ep} at batch {nb}; "
+                          "exiting")
+                else:
+                    print(f"[preempt] no output_dir: exiting at epoch {ep}, "
+                          f"batch {nb} WITHOUT a checkpoint")
                 break
             if cfg.output_dir:
                 save_checkpoint(cfg.output_dir, cfg, self.state, epoch,
                                 writer=self.ckpt_writer)
             self.run_epoch(epoch, "val")
             self.log.print_metric()
+            if self._preempt_exit:
+                print(f"[preempt] exiting after interrupted val epoch {epoch} "
+                      "(epoch-boundary checkpoint already written)")
+                break
         if self.ckpt_writer is not None:
             self.ckpt_writer.drain()
         if self.guard is not None:

@@ -144,6 +144,8 @@ def main(argv=None):
             t.join()
         wall = time.perf_counter() - t0
         post_stats = eng.stats()
+        stage_samples = eng.stage_samples()
+        http_samples = eng.http_samples()
         server.shutdown()
 
     # throughput numerator = SUCCESSFUL requests only (errored requests
@@ -155,6 +157,28 @@ def main(argv=None):
     fill = {k: v for k, v in sorted(fill.items(),
                                     key=lambda kv: [int(x) for x in kv[0].split("/")])
             if v}
+    def stage_table(samples, keys):
+        """mean/p50/p90/p99 (ms) per stage over per-request samples."""
+        out = {}
+        for k in keys:
+            vals = [s[k] for s in samples if k in s]
+            if not vals:
+                continue
+            v = np.asarray(vals, np.float64) * 1e3
+            out[k] = {"mean": round(float(v.mean()), 2),
+                      **{f"p{p}": round(float(np.percentile(v, p)), 2)
+                         for p in (50, 90, 99)}}
+        return out
+
+    engine_budget = stage_table(
+        stage_samples, ("queue_wait", "dispatch", "inflight_wait", "fetch"))
+    http_budget = {
+        "all": stage_table(http_samples,
+                           ("read", "decode", "engine_wait", "encode", "write")),
+        "maps_only_encode": stage_table(
+            [s for s in http_samples if s.get("maps")], ("encode",)),
+    }
+
     result = {
         "metric": f"HTTP serving load ({ns.model}+xSlot, {ns.img_size}px, "
                   f"{ns.compute_dtype}, {ns.clients} clients x {ns.requests} "
@@ -174,6 +198,7 @@ def main(argv=None):
             "padded": post_stats["padded"] - pre["padded"],
             "bucket_fill": fill,
         },
+        "stage_budget_ms": {"engine": engine_budget, "http": http_budget},
     }
     if errors:
         result["first_errors"] = errors[:5]
@@ -194,6 +219,19 @@ def main(argv=None):
                   "", f"engine: {result['engine']['requests']} requests in "
                   f"{result['engine']['batches']} device batches "
                   f"({result['engine']['padded']} padded slots)", ""]
+        lines += ["## Per-request stage budget (ms)", "",
+                  "| stage | mean | p50 | p90 | p99 |", "|---|---|---|---|---|"]
+        for name, tab in (("engine", engine_budget),
+                          ("http", http_budget["all"])):
+            for k, v in tab.items():
+                lines.append(f"| {name}.{k} | {v['mean']} | {v['p50']} | "
+                             f"{v['p90']} | {v['p99']} |")
+        enc_maps = http_budget["maps_only_encode"].get("encode")
+        if enc_maps:
+            lines.append(f"| http.encode (maps=1 only) | {enc_maps['mean']} | "
+                         f"{enc_maps['p50']} | {enc_maps['p90']} | "
+                         f"{enc_maps['p99']} |")
+        lines.append("")
         with open(ns.out_path, "w") as fh:
             fh.write("\n".join(lines))
         with open(os.path.splitext(ns.out_path)[0] + ".json", "w") as fh:

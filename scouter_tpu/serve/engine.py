@@ -28,6 +28,7 @@ uses, so engine results are export-artifact results.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from concurrent.futures import Future
@@ -51,15 +52,23 @@ class InferenceEngine:
         compute_dtype=None,
         include_maps: bool = True,
         mesh=None,
-        max_inflight: int = 3,
+        max_inflight: int = 8,
         quant=None,
+        resolvers: int = 4,
     ):
         """mesh: optional jax.sharding.Mesh — serve data-parallel over its
         'data' axis (each bucket batch is sharded across the mesh; every
         bucket size must divide evenly by the mesh size).
 
         max_inflight: device batches allowed in flight before the dispatcher
-        blocks (pipelining depth; 1 = the old fully-serial behavior)."""
+        blocks (pipelining depth; 1 = the old fully-serial behavior).
+
+        resolvers: concurrent device->host fetch threads. Over a
+        remote-attached runtime each blocking fetch pays the tunnel RTT
+        (~30-55 ms measured, docs/SERVE_LOAD_r5.md); a single resolver
+        serializes those RTTs and caps the engine at ~1/RTT batches/s
+        regardless of device speed. N resolvers overlap N fetches; futures
+        carry their own batch context so completion order is irrelevant."""
         import jax
 
         self.cfg = cfg
@@ -89,13 +98,24 @@ class InferenceEngine:
         # n live images — the padding histogram the load bench reports
         self._stats = {"requests": 0, "batches": 0, "padded": 0,
                        "bucket_fill": {}}
+        # per-request stage samples (seconds), recorded by the resolver:
+        # queue_wait (submit -> batch formed), dispatch (the async _fn call),
+        # inflight_wait (dispatched -> resolver pickup), fetch (device
+        # execute+transfer, the blocking np.asarray). Bounded ring buffer —
+        # the serving-gap decomposition (docs/SERVE_LOAD_r5.md) reads these.
+        self._samples: "collections.deque" = collections.deque(maxlen=8192)
+        self._http_samples: "collections.deque" = collections.deque(maxlen=8192)
         self._lock = threading.Lock()
         self._closed = threading.Event()
         # pipelining: dispatched-but-unfetched batches; bounded so at most
         # max_inflight device batches queue behind the executing one
         self._inflight: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
-        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
-        self._resolver.start()
+        self._resolvers = [
+            threading.Thread(target=self._resolve_loop, daemon=True)
+            for _ in range(max(1, resolvers))
+        ]
+        for t in self._resolvers:
+            t.start()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -108,7 +128,7 @@ class InferenceEngine:
             raise RuntimeError("engine is closed")
         image_u8 = self._validate(np.asarray(image_u8), batched=False)
         fut: Future = Future()
-        self._queue.put((image_u8, fut))
+        self._queue.put((image_u8, fut, _now()))
         if self._closed.is_set():
             # close() raced us past the is_set check above; make sure this
             # item cannot be stranded in a dead queue
@@ -131,6 +151,18 @@ class InferenceEngine:
             out["bucket_fill"] = dict(self._stats["bucket_fill"])
             return out
 
+    def stage_samples(self):
+        """Per-request engine stage timings (see ``_samples`` above)."""
+        return list(self._samples)
+
+    def record_http(self, sample: Dict) -> None:
+        """HTTP-handler stage timings (decode/wait/encode/write) — recorded by
+        the server so the load bench can print one end-to-end budget table."""
+        self._http_samples.append(sample)
+
+    def http_samples(self):
+        return list(self._http_samples)
+
     def close(self):
         self._closed.set()
         self._queue.put(None)  # wake the dispatcher
@@ -138,8 +170,10 @@ class InferenceEngine:
         # the sentinel below must be enqueued AFTER the dispatcher's last
         # batch or that batch's futures would strand behind an exited resolver
         self._thread.join(timeout=600)
-        self._inflight.put(None)  # sentinel: resolver exits after the drain
-        self._resolver.join(timeout=60)
+        for _ in self._resolvers:  # one sentinel per resolver thread
+            self._inflight.put(None)
+        for t in self._resolvers:
+            t.join(timeout=60)
         self._drain_failed()
 
     def __enter__(self):
@@ -202,7 +236,7 @@ class InferenceEngine:
             except queue.Empty:
                 break
             if item is not None:
-                _, fut = item
+                fut = item[1]
                 if fut.set_running_or_notify_cancel():
                     fut.set_exception(RuntimeError("engine is closed"))
         while True:
@@ -212,14 +246,16 @@ class InferenceEngine:
                 return
             if inflight is None:
                 continue
-            out, live = inflight
+            out, live = inflight[0], inflight[1]
             try:
                 host = {k: np.asarray(v) for k, v in out.items()}
-                for i, (_, fut) in enumerate(live):
+                for i, item in enumerate(live):
+                    fut = item[1]
                     if not fut.done():
                         fut.set_result({k: v[i] for k, v in host.items()})
             except Exception as exc:
-                for _, fut in live:
+                for item in live:
+                    fut = item[1]
                     if not fut.done():
                         fut.set_exception(exc)
 
@@ -266,14 +302,15 @@ class InferenceEngine:
             with self._lock:
                 self._stats["requests"] += len(live)
             try:
+                t_formed = _now()
                 images = np.stack([b[0] for b in live])
                 # async dispatch: hand the device outputs to the resolver and
                 # immediately form the next batch; the bounded put blocks when
                 # max_inflight batches are already queued on the device
                 out = self._dispatch_padded(images)
-                self._inflight.put((out, live))
+                self._inflight.put((out, live, (t_formed, _now())))
             except Exception as exc:  # resolve, never hang callers
-                for _, fut in live:
+                for _, fut, _t in live:
                     if not fut.done():
                         fut.set_exception(exc)
 
@@ -284,13 +321,23 @@ class InferenceEngine:
             item = self._inflight.get()
             if item is None:
                 return
-            out, live = item
+            out, live, (t_formed, t_disp) = item
+            t_pick = _now()
             try:
                 host = {k: np.asarray(v) for k, v in out.items()}
-                for i, (_, fut) in enumerate(live):
+                t_done = _now()
+                for i, (_, fut, t_sub) in enumerate(live):
                     fut.set_result({k: v[i] for k, v in host.items()})
+                    self._samples.append({
+                        "queue_wait": t_formed - t_sub,
+                        "dispatch": t_disp - t_formed,
+                        "inflight_wait": t_pick - t_disp,
+                        "fetch": t_done - t_pick,
+                        "live": len(live),
+                        "bucket": int(host["logits"].shape[0]),
+                    })
             except Exception as exc:
-                for _, fut in live:
+                for _, fut, _t in live:
                     if not fut.done():
                         fut.set_exception(exc)
 

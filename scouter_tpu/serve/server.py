@@ -80,17 +80,31 @@ def make_server(engine, img_size: int, channels: int,
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
+                import time
+
+                t0 = time.monotonic()
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
+                t_read = time.monotonic()
                 image = _decode_image(body, img_size, channels)
+                t_dec = time.monotonic()
                 out = engine.submit(image).result(timeout=60)
+                t_wait = time.monotonic()
                 logits = np.asarray(out["logits"], np.float32)
                 payload = {"pred": int(logits.argmax()),
                            "logits": [float(v) for v in logits]}
-                if "maps=1" in self.path and "slot_maps" in out:
+                want_maps = "maps=1" in self.path and "slot_maps" in out
+                if want_maps:
                     payload["slot_maps_png"] = [
                         _png_b64(m) for m in np.asarray(out["slot_maps"])]
+                t_enc = time.monotonic()
                 self._send(200, payload)
+                if hasattr(engine, "record_http"):
+                    engine.record_http({
+                        "read": t_read - t0, "decode": t_dec - t_read,
+                        "engine_wait": t_wait - t_dec, "encode": t_enc - t_wait,
+                        "write": time.monotonic() - t_enc, "maps": want_maps,
+                    })
             except Exception as exc:  # per-request isolation
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
 

@@ -247,6 +247,33 @@ class TestEngine:
         with pytest.raises(RuntimeError):
             eng.submit(probe_images(cfg, 1)[0])
 
+    def test_multi_resolver_out_of_order_integrity(self):
+        """Concurrent resolver threads may complete device batches in any
+        order; every future must still carry ITS request's result. Small
+        buckets + zero coalescing wait force many in-flight batches racing
+        across the resolver pool, and per-image logits are checked against
+        the direct computation (each random image has distinct logits, so a
+        swap anywhere would be caught)."""
+        cfg = small_cfg()
+        variables = init_variables(cfg)
+        imgs = probe_images(cfg, 24, seed=23)
+        with InferenceEngine(cfg, variables, buckets=(1, 2),
+                             max_wait_ms=0.5, max_inflight=8,
+                             resolvers=4) as eng:
+            futs = [eng.submit(img) for img in imgs]
+            got = np.stack([f.result(timeout=120)["logits"] for f in futs])
+            samples = eng.stage_samples()
+            stats = eng.stats()
+        live = jax.jit(make_serving_fn(cfg, variables))
+        want = np.asarray(live(jnp.asarray(imgs))["logits"])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        # one stage sample per request, every stage duration non-negative
+        assert len(samples) == 24 and stats["requests"] == 24
+        for s in samples:
+            for k in ("queue_wait", "dispatch", "inflight_wait", "fetch"):
+                assert s[k] >= 0.0
+            assert 1 <= s["live"] <= s["bucket"] <= 2
+
 
 class TestHTTPServer:
     def test_predict_and_health_round_trip(self):

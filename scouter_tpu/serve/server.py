@@ -47,12 +47,34 @@ def _decode_image(body: bytes, img_size: int, channels: int) -> np.ndarray:
     return arr
 
 
-def _png_b64(map_u8: np.ndarray) -> str:
-    from PIL import Image
+def _png_gray(arr: np.ndarray, level: int = 1) -> bytes:
+    """Minimal grayscale PNG encoder: filter-0 scanlines + one zlib IDAT.
 
-    buf = io.BytesIO()
-    Image.fromarray(map_u8, mode="L").save(buf, "PNG")
-    return base64.b64encode(buf.getvalue()).decode("ascii")
+    7x faster than PIL on realistic smooth slot maps (0.6 vs 4.2 ms at
+    224px, 2.3x worst-case on noise) — the maps-response encode was the
+    last measurable serving stage after the r5 resolver fix
+    (docs/SERVE_LOAD_r5.md caveat). Output is a spec-valid 8-bit
+    grayscale PNG (PIL round-trip pixel-equality tested)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.empty((h, w + 1), np.uint8)
+    raw[:, 0] = 0  # per-scanline filter byte: None
+    raw[:, 1:] = arr
+    idat = zlib.compress(raw.tobytes(), level)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def _png_b64(map_u8: np.ndarray) -> str:
+    return base64.b64encode(_png_gray(np.asarray(map_u8, np.uint8))).decode("ascii")
 
 
 def make_server(engine, img_size: int, channels: int,

@@ -276,6 +276,29 @@ class TestEngine:
 
 
 class TestHTTPServer:
+    def test_png_gray_encoder_round_trips(self):
+        """The server's minimal PNG encoder must emit spec-valid PNGs that
+        decode pixel-identical via an independent decoder (PIL), across
+        shapes and content."""
+        import io
+
+        from PIL import Image
+
+        from scouter_tpu.serve.server import _png_gray
+
+        rng = np.random.RandomState(31)
+        cases = [
+            np.zeros((1, 1), np.uint8),
+            np.full((3, 7), 255, np.uint8),
+            (np.arange(64 * 64, dtype=np.int64) % 256).astype(
+                np.uint8).reshape(64, 64),
+            rng.randint(0, 256, (224, 96), np.uint8),
+        ]
+        for arr in cases:
+            back = np.asarray(Image.open(io.BytesIO(_png_gray(arr))))
+            assert back.dtype == np.uint8 and back.shape == arr.shape
+            np.testing.assert_array_equal(back, arr)
+
     def test_predict_and_health_round_trip(self):
         """HTTP layer end-to-end: PNG body -> engine -> logits JSON; maps=1
         returns one base64 PNG per class; /healthz reports stats."""

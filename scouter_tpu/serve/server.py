@@ -151,6 +151,12 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--buckets", default="1,4,16")
     parser.add_argument("--max_wait_ms", type=float, default=2.0)
+    parser.add_argument("--max_inflight", type=int, default=8,
+                        help="device batches in flight before the "
+                             "dispatcher blocks (pipelining depth)")
+    parser.add_argument("--resolvers", type=int, default=4,
+                        help="concurrent device->host fetch threads "
+                             "(overlaps transfer RTTs; docs/SERVE_LOAD_r5.md)")
     ns = parser.parse_args(argv)
     cfg = config_from_args(ns).replace(use_pre=False)
 
@@ -159,7 +165,9 @@ def main(argv=None):
     channels = 1 if cfg.dataset == "MNIST" else 3
     buckets = [int(b) for b in ns.buckets.split(",")]
     engine = InferenceEngine(cfg, state.variables(), buckets=buckets,
-                             max_wait_ms=ns.max_wait_ms)
+                             max_wait_ms=ns.max_wait_ms,
+                             max_inflight=ns.max_inflight,
+                             resolvers=ns.resolvers)
     # compile every bucket BEFORE accepting traffic: a cold jit compile can
     # take minutes and would otherwise burn the first requests' timeouts
     for b in sorted(buckets):

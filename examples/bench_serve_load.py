@@ -145,7 +145,7 @@ def main(argv=None):
         wall = time.perf_counter() - t0
         post_stats = eng.stats()
         stage_samples = eng.stage_samples()
-        http_samples = eng.http_samples()
+        http_samples = server.http_samples()
         server.shutdown()
 
     # throughput numerator = SUCCESSFUL requests only (errored requests
@@ -161,13 +161,12 @@ def main(argv=None):
         """mean/p50/p90/p99 (ms) per stage over per-request samples."""
         out = {}
         for k in keys:
-            vals = [s[k] for s in samples if k in s]
+            vals = [s[k] * 1e3 for s in samples if k in s]
             if not vals:
                 continue
-            v = np.asarray(vals, np.float64) * 1e3
-            out[k] = {"mean": round(float(v.mean()), 2),
-                      **{f"p{p}": round(float(np.percentile(v, p)), 2)
-                         for p in (50, 90, 99)}}
+            out[k] = {"mean": round(float(np.mean(vals)), 2),
+                      **{f"p{p}": round(v, 2)
+                         for p, v in _percentiles(vals).items()}}
         return out
 
     engine_budget = stage_table(

@@ -104,7 +104,6 @@ class InferenceEngine:
         # execute+transfer, the blocking np.asarray). Bounded ring buffer —
         # the serving-gap decomposition (docs/SERVE_LOAD_r5.md) reads these.
         self._samples: "collections.deque" = collections.deque(maxlen=8192)
-        self._http_samples: "collections.deque" = collections.deque(maxlen=8192)
         self._lock = threading.Lock()
         self._closed = threading.Event()
         # pipelining: dispatched-but-unfetched batches; bounded so at most
@@ -153,15 +152,8 @@ class InferenceEngine:
 
     def stage_samples(self):
         """Per-request engine stage timings (see ``_samples`` above)."""
-        return list(self._samples)
-
-    def record_http(self, sample: Dict) -> None:
-        """HTTP-handler stage timings (decode/wait/encode/write) — recorded by
-        the server so the load bench can print one end-to-end budget table."""
-        self._http_samples.append(sample)
-
-    def http_samples(self):
-        return list(self._http_samples)
+        with self._lock:  # a concurrent resolver append would break iteration
+            return list(self._samples)
 
     def close(self):
         self._closed.set()
@@ -175,6 +167,12 @@ class InferenceEngine:
         for t in self._resolvers:
             t.join(timeout=60)
         self._drain_failed()
+        if self._thread.is_alive():
+            # the dispatcher join above timed out mid-dispatch; its final
+            # in-flight put would land AFTER the drain, stranding that batch's
+            # futures behind the exited resolvers — keep one daemon around to
+            # resolve it whenever the dispatcher finally returns
+            threading.Thread(target=self._late_drain, daemon=True).start()
 
     def __enter__(self):
         return self
@@ -326,20 +324,31 @@ class InferenceEngine:
             try:
                 host = {k: np.asarray(v) for k, v in out.items()}
                 t_done = _now()
-                for i, (_, fut, t_sub) in enumerate(live):
+                # record BEFORE resolving: a caller woken by the final
+                # set_result may snapshot stage_samples() immediately
+                with self._lock:
+                    for _, _fut, t_sub in live:
+                        self._samples.append({
+                            "queue_wait": t_formed - t_sub,
+                            "dispatch": t_disp - t_formed,
+                            "inflight_wait": t_pick - t_disp,
+                            "fetch": t_done - t_pick,
+                            "live": len(live),
+                            "bucket": int(host["logits"].shape[0]),
+                        })
+                for i, (_, fut, _t) in enumerate(live):
                     fut.set_result({k: v[i] for k, v in host.items()})
-                    self._samples.append({
-                        "queue_wait": t_formed - t_sub,
-                        "dispatch": t_disp - t_formed,
-                        "inflight_wait": t_pick - t_disp,
-                        "fetch": t_done - t_pick,
-                        "live": len(live),
-                        "bucket": int(host["logits"].shape[0]),
-                    })
             except Exception as exc:
                 for _, fut, _t in live:
                     if not fut.done():
                         fut.set_exception(exc)
+
+
+    def _late_drain(self):
+        """close()-spawned guard for a dispatcher that outlived its join
+        timeout (see close); daemon thread, exits with the process."""
+        self._thread.join()
+        self._drain_failed()
 
 
 def _now() -> float:

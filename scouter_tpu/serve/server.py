@@ -80,7 +80,19 @@ def _png_b64(map_u8: np.ndarray) -> str:
 def make_server(engine, img_size: int, channels: int,
                 address: Tuple[str, int] = ("127.0.0.1", 8000)) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server bound to ``address``; port 0 picks a
-    free port (``server.server_address`` reports the real one)."""
+    free port (``server.server_address`` reports the real one).
+
+    The returned server carries ``http_samples()`` — per-request HTTP-stage
+    timings (read/decode/engine_wait/encode, plus write patched in after the
+    response goes out) feeding the load bench's budget table
+    (docs/SERVE_LOAD_r5.md). Samples are appended BEFORE the response bytes
+    are written, so a client that joins on its response and then snapshots
+    the samples sees every request it completed."""
+    import collections
+    import threading
+
+    samples: "collections.deque" = collections.deque(maxlen=8192)
+    samples_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -120,20 +132,30 @@ def make_server(engine, img_size: int, channels: int,
                     payload["slot_maps_png"] = [
                         _png_b64(m) for m in np.asarray(out["slot_maps"])]
                 t_enc = time.monotonic()
+                sample = {"read": t_read - t0, "decode": t_dec - t_read,
+                          "engine_wait": t_wait - t_dec,
+                          "encode": t_enc - t_wait, "maps": want_maps}
+                with samples_lock:
+                    samples.append(sample)
                 self._send(200, payload)
-                if hasattr(engine, "record_http"):
-                    engine.record_http({
-                        "read": t_read - t0, "decode": t_dec - t_read,
-                        "engine_wait": t_wait - t_dec, "encode": t_enc - t_wait,
-                        "write": time.monotonic() - t_enc, "maps": want_maps,
-                    })
+                # patch write-time into the already-recorded sample: readers
+                # racing this mutation at worst miss the 'write' key (the
+                # budget table skips absent keys), never the sample
+                sample["write"] = time.monotonic() - t_enc
             except Exception as exc:  # per-request isolation
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
 
         def log_message(self, *args):  # quiet access log
             pass
 
-    return ThreadingHTTPServer(address, Handler)
+    server = ThreadingHTTPServer(address, Handler)
+
+    def http_samples():
+        with samples_lock:
+            return list(samples)
+
+    server.http_samples = http_samples
+    return server
 
 
 def main(argv=None):

@@ -118,6 +118,10 @@ class Trainer:
         self._preempt_sums = None  # interrupted epoch's (metric sums, n)
         self._resume_metric_sums = None  # restored sums for the redone epoch
         self._preempt_exit = False  # SIGTERM during val: exit after the epoch
+        # multi-process preemption-consensus poll interval, in batches
+        # (_stop_consensus docstring); tests that assert exact stop indices
+        # on tiny epochs set this to 1
+        self.consensus_every = 8
         self.guard = None
         if getattr(cfg, "preempt_save", False):
             from .preempt import PreemptionGuard
@@ -264,18 +268,28 @@ class Trainer:
                 self.start_epoch = epoch + 1
                 print(f"resumed from {path} at epoch {epoch}")
 
-    def _stop_consensus(self) -> bool:
+    def _stop_consensus(self, bi: int) -> bool:
         """Cross-process-consistent preemption decision.
 
         SIGTERM delivery timing differs per worker in a multi-host run; a rank
         that broke out of the epoch alone would enter the checkpoint's
         process_allgather while the others are still in train_step's psum —
-        deadlock — and their optimizer states would diverge. So every rank,
-        every batch, max-reduces its local flag and they all stop at the SAME
-        batch index. Single-process (the common case) short-circuits to the
-        local flag with zero overhead."""
+        deadlock — and their optimizer states would diverge. So ranks
+        max-reduce their local flags and all stop at the SAME batch index.
+        Single-process (the common case) short-circuits to the local flag
+        with zero overhead.
+
+        Multi-process, the allgather is a blocking host collective that would
+        serialize JAX's async dispatch if run every batch (the epoch loop
+        otherwise never syncs on the step), so it polls every
+        ``consensus_every`` batches. Every rank evaluates the same condition
+        at the same ``bi``, so the collective stays aligned and the agreed
+        stop index is unchanged in kind; preemption latency grows to at most
+        ``consensus_every`` steps — well inside any SIGTERM grace window."""
         local = self.guard is not None and self.guard.triggered
         if self.guard is not None and jax.process_count() > 1:
+            if (bi + 1) % self.consensus_every:
+                return False
             from jax.experimental import multihost_utils
 
             flags = multihost_utils.process_allgather(np.int32(local))
@@ -309,7 +323,7 @@ class Trainer:
                 lambda a, b: a + b, sums, metrics
             )
             n += 1
-            if self.guard is not None and self._stop_consensus():
+            if self.guard is not None and self._stop_consensus(bi):
                 if mode == "train":
                     self._preempted_at = (epoch, bi + 1)
                     self._preempt_sums = {

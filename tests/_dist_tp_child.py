@@ -128,6 +128,10 @@ t2 = Trainer(cfg_resume, mesh=mesh, datasets=datasets)
 t2.maybe_resume()
 assert t2.start_epoch == 1 and t2._skip_batches == 0
 t2.guard.trigger()  # both ranks flag before the epoch; consensus must agree
+# default consensus_every (8) exceeds this 2-step epoch, so the poll interval
+# must be pinned to assert the exact stop index; production epochs poll every
+# 8 batches (Trainer._stop_consensus)
+t2.consensus_every = 1
 t2.run_epoch(1, "train")
 assert t2._preempted_at == (1, 1), t2._preempted_at
 save_checkpoint(workdir, cfg, t2.state, 1, batch=1,

@@ -883,6 +883,9 @@ def run_iou_floor(epochs=20, n_train=512, n_val=128, batch_size=8,
     supersedes it with spread evidence. Match: the reference's rendering flow
     ``test.py:33-44`` + ``sloter/utils/slot_attention.py:68-85``.
     """
+    kind = "negative" if loss_status == -1 else "positive"
+    horizons = sorted({min(4, epochs), epochs})
+
     reps = []
     for r in range(replicates):
         rep_seed = seed + 101 * r
@@ -892,16 +895,27 @@ def run_iou_floor(epochs=20, n_train=512, n_val=128, batch_size=8,
             epochs=epochs, n_train=n_train, n_val=n_val,
             batch_size=batch_size, img_size=img_size, lr=lr, seed=rep_seed,
             eps=eps, probes=probes, loss_status=loss_status))
+        # aggregate + write after EVERY replicate: each one is hours of
+        # single-CPU training, so an interrupted run still leaves an honest
+        # n=len(reps) artifact on disk rather than nothing
+        result = _iou_floor_aggregate(
+            reps, replicates, kind, horizons, epochs, n_train, batch_size,
+            probes, eps, img_size, out_path)
+    return result
 
-    kind = "negative" if loss_status == -1 else "positive"
-    horizons = sorted({min(4, epochs), epochs})
-    setup = (f"{kind} SCOUTER recipe, {replicates} independent replicates, "
-             f"{epochs} epochs x {n_train // batch_size} steps, {probes} "
-             f"probes, eps={eps:g}, horizons={horizons}, "
+
+def _iou_floor_aggregate(reps, replicates, kind, horizons, epochs, n_train,
+                         batch_size, probes, eps, img_size, out_path):
+    """Aggregate iou-floor replicates and (re)write the report artifacts."""
+    partial = "" if len(reps) == replicates else \
+        f" [PARTIAL: {len(reps)}/{replicates} replicates complete]"
+    setup = (f"{kind} SCOUTER recipe, {len(reps)} independent replicates"
+             f"{partial}, {epochs} epochs x {n_train // batch_size} steps, "
+             f"{probes} probes, eps={eps:g}, horizons={horizons}, "
              f"SYNTHETIC MNIST {img_size}px")
     result = {"setup": setup, "replicates": reps, "horizons": {}}
     lines = [f"# Heatmap-IoU noise floor ({kind} SCOUTER recipe, "
-             f"n={replicates} replicates)", "", setup, "",
+             f"n={len(reps)} replicates)", "", setup, "",
              "| horizon | pair | soft IoU mean (min..max) | "
              "IoU@128 mean (min..max) |", "|---|---|---|---|"]
     for h in horizons:
@@ -951,7 +965,7 @@ def run_iou_floor(epochs=20, n_train=512, n_val=128, batch_size=8,
               "divergence; A-J ~ A-C would mean the frameworks train "
               "genuinely different explanations.", ""]
     report = "\n".join(lines)
-    print(report)
+    print(report, flush=True)
     if out_path:
         with open(out_path, "w") as fh:
             fh.write(report + "\n")

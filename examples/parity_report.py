@@ -891,10 +891,12 @@ def run_iou_floor(epochs=20, n_train=512, n_val=128, batch_size=8,
         rep_seed = seed + 101 * r
         print(f"[iou-floor] === replicate {r + 1}/{replicates} "
               f"(seed {rep_seed}) ===", flush=True)
-        reps.append(_iou_floor_once(
+        rep = _iou_floor_once(
             epochs=epochs, n_train=n_train, n_val=n_val,
             batch_size=batch_size, img_size=img_size, lr=lr, seed=rep_seed,
-            eps=eps, probes=probes, loss_status=loss_status))
+            eps=eps, probes=probes, loss_status=loss_status)
+        rep["seed"] = rep_seed
+        reps.append(rep)
         # aggregate + write after EVERY replicate: each one is hours of
         # single-CPU training, so an interrupted run still leaves an honest
         # n=len(reps) artifact on disk rather than nothing
@@ -909,10 +911,11 @@ def _iou_floor_aggregate(reps, replicates, kind, horizons, epochs, n_train,
     """Aggregate iou-floor replicates and (re)write the report artifacts."""
     partial = "" if len(reps) == replicates else \
         f" [PARTIAL: {len(reps)}/{replicates} replicates complete]"
+    seeds = [r.get("seed") for r in reps]
     setup = (f"{kind} SCOUTER recipe, {len(reps)} independent replicates"
-             f"{partial}, {epochs} epochs x {n_train // batch_size} steps, "
-             f"{probes} probes, eps={eps:g}, horizons={horizons}, "
-             f"SYNTHETIC MNIST {img_size}px")
+             f"{partial} (seeds {seeds}), {epochs} epochs x "
+             f"{n_train // batch_size} steps, {probes} probes, eps={eps:g}, "
+             f"horizons={horizons}, SYNTHETIC MNIST {img_size}px")
     result = {"setup": setup, "replicates": reps, "horizons": {}}
     lines = [f"# Heatmap-IoU noise floor ({kind} SCOUTER recipe, "
              f"n={len(reps)} replicates)", "", setup, "",
@@ -964,6 +967,170 @@ def _iou_floor_aggregate(reps, replicates, kind, horizons, epochs, n_train,
               "deltas are inside trained-model fp32 chaos, not a framework "
               "divergence; A-J ~ A-C would mean the frameworks train "
               "genuinely different explanations.", ""]
+    report = "\n".join(lines)
+    print(report, flush=True)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(report + "\n")
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as fh:
+            json.dump(result, fh, indent=2, default=float)
+    return result
+
+
+def _make_digits_arrays(img_size, n_train, n_val, seed):
+    """REAL handwritten digits (UCI optdigits via sklearn — the only real
+    image data available in this zero-egress environment), shaped exactly
+    like the synthetic-MNIST path: 8x8/16-level scans -> uint8 28x28 canvas
+    (bilinear, PIL) -> the SAME ``preprocess_batch(dataset='MNIST')`` resize
+    + normalize both frameworks consume. Disjoint shuffled train/val split."""
+    from PIL import Image
+    import jax.numpy as jnp
+
+    from scouter_tpu.data.transforms import preprocess_batch
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    order = np.random.RandomState(seed).permutation(len(d.images))
+    if n_train + n_val > len(order):
+        raise ValueError(f"digits has {len(order)} images < "
+                         f"{n_train}+{n_val} requested")
+    u8 = np.round(d.images / 16.0 * 255.0).astype(np.uint8)
+    up = np.stack([np.asarray(Image.fromarray(im, mode="L").resize(
+        (28, 28), Image.BILINEAR)) for im in u8])[..., None]
+    labels = d.target.astype(np.int64)
+
+    def prep(sel):
+        out = []
+        for i in range(0, len(sel), 64):
+            out.append(np.asarray(preprocess_batch(
+                jnp.asarray(up[sel[i:i + 64]]), dataset="MNIST",
+                img_size=img_size)))
+        return np.concatenate(out).astype(np.float32)
+
+    tr, va = order[:n_train], order[n_train:n_train + n_val]
+    return (prep(tr), labels[tr]), (prep(va), labels[va])
+
+
+def run_real_digits(epochs=20, n_train=512, n_val=256, batch_size=8,
+                    img_size=260, lr=1e-4, seed=0, eps=1e-6, probes=8,
+                    out_path=None, loss_status=1):
+    """North-star cross-framework parity on REAL images.
+
+    Every prior accuracy/IoU figure in this repo is synthetic (zero-egress
+    environment — VERDICT r4 missing item 1). sklearn ships the UCI
+    handwritten-digits test set (1,797 real 8x8 scans) inside its wheel, so
+    this run puts the BASELINE.json north-star contract ("top-1 + heatmap-IoU
+    parity") on real data as far as this environment allows: torch reference
+    A and jax J train from identical init on the identical real-image stream
+    (positive SCOUTER recipe by default — the reference's headline MNIST
+    configuration, /root/reference/README.md:99-105), with a torch+eps twin B
+    as the fp32-chaos control. Reports per-epoch REAL val top-1 for both
+    frameworks, final prediction agreement, and trained-model heatmap IoU
+    (A-J) against the eps floor (A-B) at epoch 4 and the final epoch — the
+    same verdict rule as the synthetic floor (docs/IOU_FLOOR_r5.md).
+    Match: test.py:33-44 rendering, sloter/utils/slot_attention.py:68-85.
+    """
+    import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from scouter_tpu.models import build_slot_model, torch_state_dict_to_variables
+
+    from test_models import install_reference_stubs
+    from test_slot_model import _make_ref_slot_model
+
+    install_reference_stubs()
+    train_arrays, val_arrays = _make_digits_arrays(img_size, n_train, n_val, seed)
+    probe_imgs = val_arrays[0][:probes]
+    cfg = _sweep_cfg(loss_status, img_size, batch_size)
+    snapshot_epochs = sorted({min(4, epochs), epochs})
+    stage_seed = seed + 2
+
+    torch.manual_seed(stage_seed)
+    ref_a = _make_ref_slot_model(cfg)
+    sd_a = {k: v.clone() for k, v in ref_a.state_dict().items()}
+    torch.manual_seed(stage_seed)
+    ref_b = _make_ref_slot_model(cfg)
+    with torch.no_grad():
+        w = dict(ref_b.named_parameters())["backbone.conv1.weight"]
+        w.view(-1)[0] += eps
+    variables_j = torch_state_dict_to_variables(
+        {k: v.clone() for k, v in sd_a.items()})
+
+    maps, accs = {}, {}
+
+    def torch_hook(name, ref):
+        def on_epoch(epoch):
+            if (epoch + 1) in snapshot_epochs:
+                maps[(name, epoch + 1)] = _torch_probe_maps(ref, probe_imgs, cfg)
+                print(f"[real-digits] {name} snapshot @ epoch {epoch + 1}",
+                      flush=True)
+        return on_epoch
+
+    for name, ref in (("A", ref_a), ("B", ref_b)):
+        accs[name] = _torch_recipe(ref, train_arrays, val_arrays, epochs,
+                                   batch_size, lr, 70, stage_seed,
+                                   on_epoch=torch_hook(name, ref))
+        print(f"[real-digits] torch {name} done: final val acc "
+              f"{accs[name][-1]:.4f}", flush=True)
+
+    model_j = build_slot_model(cfg)
+
+    def jax_hook(epoch, state):
+        if (epoch + 1) in snapshot_epochs:
+            maps[("J", epoch + 1)] = _jax_probe_maps(
+                model_j, state.variables(), probe_imgs, cfg)
+            print(f"[real-digits] J snapshot @ epoch {epoch + 1}", flush=True)
+
+    state_j, accs["J"], _ = _jax_recipe(
+        cfg, variables_j, train_arrays, val_arrays, epochs, batch_size, lr,
+        stage_seed, on_epoch=jax_hook)
+    print(f"[real-digits] jax done: final val acc {accs['J'][-1]:.4f}",
+          flush=True)
+
+    agreement = _final_agreement(ref_a, model_j, state_j, val_arrays,
+                                 batch_size)
+
+    kind = "negative" if loss_status == -1 else "positive"
+    setup = (f"REAL DATA: UCI handwritten digits (sklearn), {kind} SCOUTER "
+             f"recipe, {epochs} epochs x {n_train // batch_size} steps, "
+             f"train/val {n_train}/{n_val}, {probes} probes, eps={eps:g}, "
+             f"seed={seed}, {img_size}px")
+    result = {"setup": setup, "val_acc": accs, "agreement": agreement,
+              "horizons": {}}
+    lines = [f"# North-star parity on REAL images (UCI digits, {kind} "
+             "recipe)", "", setup, "",
+             f"final REAL val top-1: torch {accs['A'][-1]:.4f}, jax "
+             f"{accs['J'][-1]:.4f}, torch+eps {accs['B'][-1]:.4f}; "
+             f"prediction agreement (A vs J) "
+             f"{agreement['agreement']:.4f} over n={agreement['n']}", "",
+             "| horizon | pair | soft IoU | IoU@128 |", "|---|---|---|---|"]
+    for h in snapshot_epochs:
+        row = {}
+        for pair in ("A-B", "A-J"):
+            a, b = pair.split("-")
+            row[pair] = _pair_iou(maps[(a, h)], maps[(b, h)],
+                                  cfg.num_classes)["mean"]
+            lines.append(f"| {h} ep | {pair} | {row[pair]['soft_iou']:.4f} "
+                         f"| {row[pair]['iou@128']:.4f} |")
+        aj, ab = row["A-J"], row["A-B"]
+        row["within_eps_floor"] = bool(all(
+            aj[k] >= 0.95 * ab[k] for k in ("soft_iou", "iou@128")))
+        row["margin"] = {k: (aj[k] / ab[k] if ab[k] else float("inf"))
+                         for k in ("soft_iou", "iou@128")}
+        result["horizons"][str(h)] = row
+        lines.append(f"| {h} ep | verdict | within eps floor: "
+                     f"{row['within_eps_floor']} | margins soft "
+                     f"{row['margin']['soft_iou']:.3f} / @128 "
+                     f"{row['margin']['iou@128']:.3f} |")
+    lines += ["", "A/B = torch reference (B = A + 1e-6 on one conv1 weight: "
+              "the fp32-chaos floor), J = this framework from identical "
+              "init on the identical real-image stream. A-J >= 0.95 x A-B "
+              "per metric => cross-framework heatmap deltas on real data "
+              "are inside trained-model fp32 chaos.", ""]
     report = "\n".join(lines)
     print(report, flush=True)
     if out_path:
@@ -1225,7 +1392,7 @@ def main(argv=None):
     ap.add_argument("--mode", default="parity",
                     choices=["parity", "full-recipe", "chaos-control",
                              "negative-convergence", "jax-chaos-control",
-                             "plateau-sweep", "iou-floor"],
+                             "plateau-sweep", "iou-floor", "real-digits"],
                     help="parity: short side-by-side trajectory (default); "
                          "full-recipe: the 3-stage README chain in both "
                          "frameworks; chaos-control: torch vs eps-perturbed "
@@ -1234,7 +1401,9 @@ def main(argv=None):
                          "jax-chaos-control: jax vs eps-perturbed jax; "
                          "plateau-sweep: init-seed plateau distribution; "
                          "iou-floor: trained-model heatmap-IoU noise floor "
-                         "(torch-vs-torch-eps/seed vs cross-framework)")
+                         "(torch-vs-torch-eps/seed vs cross-framework); "
+                         "real-digits: north-star parity on REAL images "
+                         "(UCI handwritten digits via sklearn)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="epochs per stage for the recipe modes")
     ap.add_argument("--out_path", default=None,
@@ -1296,7 +1465,8 @@ def main(argv=None):
             print(f"[parity_report] NOTE: --mode {ns.mode} runs the fixed "
                   f"MNIST-chain recipe; ignoring flags: {ignored}")
         if ns.mode in ("negative-convergence", "chaos-control",
-                       "jax-chaos-control", "plateau-sweep", "iou-floor") \
+                       "jax-chaos-control", "plateau-sweep", "iou-floor",
+                       "real-digits") \
                 and ns.loss_status is not None:
             kwargs["loss_status"] = ns.loss_status
         if ns.mode in ("jax-chaos-control", "plateau-sweep"):
@@ -1311,7 +1481,8 @@ def main(argv=None):
               "negative-convergence": run_negative_convergence,
               "jax-chaos-control": run_jax_chaos_control,
               "plateau-sweep": run_plateau_sweep,
-              "iou-floor": run_iou_floor}[ns.mode]
+              "iou-floor": run_iou_floor,
+              "real-digits": run_real_digits}[ns.mode]
         fn(**kwargs)
         return
 

@@ -137,3 +137,29 @@ def test_end_to_end_heatmap_iou_parity_resnest():
     assert result["top1"]["agreement"] == 1.0
     assert result["heatmap_iou"]["mean"]["iou@128"] >= 0.9
     assert result["heatmap_iou"]["mean"]["soft_iou"] >= 0.9
+
+
+def test_real_digits_data_path():
+    """The real-data mode's ingest (sklearn UCI digits -> 28x28 canvas ->
+    the shared MNIST preprocess): shapes, disjoint deterministic split,
+    full 0-9 label coverage, and genuinely non-degenerate real images.
+    The full training run is examples/parity_report.py --mode real-digits
+    (docs/REAL_DIGITS_r5.md)."""
+    from parity_report import _make_digits_arrays
+
+    (x_tr, y_tr), (x_va, y_va) = _make_digits_arrays(
+        img_size=64, n_train=48, n_val=32, seed=3)
+    assert x_tr.shape == (48, 64, 64, 1) and x_va.shape == (32, 64, 64, 1)
+    assert x_tr.dtype == np.float32
+    assert y_tr.shape == (48,) and y_va.shape == (32,)
+    assert set(np.concatenate([y_tr, y_va])) <= set(range(10))
+    # real scans: every image distinct, nonzero variance
+    flat = x_tr.reshape(len(x_tr), -1)
+    assert len({f.tobytes() for f in flat}) == len(flat)
+    assert float(flat.std(axis=1).min()) > 0.0
+    # determinism + train/val disjointness under the same seed
+    (x_tr2, y_tr2), _ = _make_digits_arrays(64, 48, 32, seed=3)
+    np.testing.assert_array_equal(x_tr, x_tr2)
+    np.testing.assert_array_equal(y_tr, y_tr2)
+    va_set = {f.tobytes() for f in x_va.reshape(len(x_va), -1)}
+    assert not va_set & {f.tobytes() for f in flat}

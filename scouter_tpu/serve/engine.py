@@ -337,12 +337,15 @@ class InferenceEngine:
                             "bucket": int(host["logits"].shape[0]),
                         })
                 for i, (_, fut, _t) in enumerate(live):
-                    fut.set_result({k: v[i] for k, v in host.items()})
+                    # done() race: infer() may have already failed this future
+                    # when close() raced the submit — don't let one resolved
+                    # future's InvalidStateError rob its batchmates of results
+                    if not fut.done():
+                        fut.set_result({k: v[i] for k, v in host.items()})
             except Exception as exc:
                 for _, fut, _t in live:
                     if not fut.done():
                         fut.set_exception(exc)
-
 
     def _late_drain(self):
         """close()-spawned guard for a dispatcher that outlived its join
